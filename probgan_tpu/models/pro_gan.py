@@ -1,0 +1,287 @@
+"""Progressive image-synthesis GAN (the BASELINE.json north-star model family).
+
+This model family has NO reference file — the reference repo contains no image
+ops (SURVEY.md §0.2) — it is mandated by /root/repo/BASELINE.json:
+latent sampling -> PixelNorm -> equalized-LR conv blocks -> progressive
+upsample + toRGB alpha-blend -> tanh/denorm to uint8, plus a mirrored
+downsample/conv discriminator for scoring and training.
+
+Design notes (TPU-first):
+
+- NHWC layout, 3x3 SAME convs — the layouts XLA tiles best onto the MXU.
+- Equalized learning rate: weights are stored ~N(0,1) and scaled by the He
+  constant sqrt(2/fan_in) at apply time (Karras et al., ProGAN).
+- ``stage`` is a static Python int (one compiled graph per benchmark
+  resolution); ``alpha`` is a traced scalar so the 256² fade-in config runs a
+  single compiled graph for any alpha (SURVEY.md §7.3).
+- Compute dtype is configurable: fp32 for bit-parity golden tests vs the CPU
+  reference, bf16 for throughput (params always fp32; casts at block edges).
+- The tanh -> scale -> round -> clip -> uint8 denorm is a separate op
+  (``to_uint8``) so the Pallas-fused variant can swap in (ops/pallas_image.py).
+
+Resolution of stage s is ``4 * 2**s``; channels ``nf(s) = min(fmap_base //
+2**s, fmap_max)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+LRELU_SLOPE = 0.2
+_PIXELNORM_EPS = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class ProGANConfig:
+    resolution: int = 1024
+    latent_dim: int = 512
+    fmap_base: int = 8192
+    fmap_max: int = 512
+    num_channels: int = 3
+
+    @property
+    def num_stages(self) -> int:
+        return int(math.log2(self.resolution // 4)) + 1
+
+    def nf(self, stage: int) -> int:
+        return min(self.fmap_base // (2**stage), self.fmap_max)
+
+
+def stage_resolution(stage: int) -> int:
+    return 4 * 2**stage
+
+
+# ---------------------------------------------------------------------------
+# equalized-LR primitives
+# ---------------------------------------------------------------------------
+
+def _eq_conv_init(key: jax.Array, kh: int, kw: int, cin: int, cout: int) -> dict:
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype=jnp.float32)
+    return {"w": w, "b": jnp.zeros((cout,), dtype=jnp.float32)}
+
+
+def _eq_dense_init(key: jax.Array, fin: int, fout: int) -> dict:
+    w = jax.random.normal(key, (fin, fout), dtype=jnp.float32)
+    return {"w": w, "b": jnp.zeros((fout,), dtype=jnp.float32)}
+
+
+def _he_scale(fan_in: int, gain: float = math.sqrt(2.0)) -> float:
+    return gain / math.sqrt(fan_in)
+
+
+def eq_conv(params: dict, x: jax.Array, gain: float = math.sqrt(2.0)) -> jax.Array:
+    """3x3/1x1 SAME conv with runtime He scaling (equalized LR)."""
+    w = params["w"]
+    kh, kw, cin, _ = w.shape
+    scale = _he_scale(kh * kw * cin, gain)
+    w = (w * scale).astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+def eq_dense(params: dict, x: jax.Array, gain: float = math.sqrt(2.0)) -> jax.Array:
+    w = params["w"]
+    scale = _he_scale(w.shape[0], gain)
+    return x @ (w * scale).astype(x.dtype) + params["b"].astype(x.dtype)
+
+
+def lrelu(x: jax.Array) -> jax.Array:
+    return jax.nn.leaky_relu(x, negative_slope=LRELU_SLOPE)
+
+
+def pixel_norm(x: jax.Array) -> jax.Array:
+    """Normalize each pixel's feature vector: x / sqrt(mean(x^2) + eps)."""
+    return x * jax.lax.rsqrt(
+        jnp.mean(jnp.square(x), axis=-1, keepdims=True) + _PIXELNORM_EPS
+    )
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,2H,2W,C] nearest-neighbor."""
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+def downsample_avg_2x(x: jax.Array) -> jax.Array:
+    """[B,H,W,C] -> [B,H/2,W/2,C] 2x2 mean pool."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.mean(x, axis=(2, 4))
+
+
+def to_uint8(rgb: jax.Array) -> jax.Array:
+    """tanh -> [0,255] denorm -> round -> clip -> uint8 (BASELINE.json
+    north_star's final stage; fused Pallas variant in ops/pallas_image.py)."""
+    x = jnp.tanh(rgb.astype(jnp.float32))
+    x = (x + 1.0) * 127.5
+    return jnp.clip(jnp.round(x), 0.0, 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+def init_generator(key: jax.Array, config: ProGANConfig) -> dict:
+    """Params: base dense + per-stage double-conv blocks + per-stage toRGB."""
+    n = config.num_stages
+    keys = iter(jax.random.split(key, 2 + 3 * n))
+    params: dict[str, Any] = {
+        "base_dense": _eq_dense_init(next(keys), config.latent_dim, config.nf(0) * 16),
+        "base_conv": _eq_conv_init(next(keys), 3, 3, config.nf(0), config.nf(0)),
+        "blocks": [],
+        "to_rgb": [],
+    }
+    for s in range(1, n):
+        params["blocks"].append(
+            {
+                "conv1": _eq_conv_init(next(keys), 3, 3, config.nf(s - 1), config.nf(s)),
+                "conv2": _eq_conv_init(next(keys), 3, 3, config.nf(s), config.nf(s)),
+            }
+        )
+    for s in range(n):
+        params["to_rgb"].append(
+            _eq_conv_init(next(keys), 1, 1, config.nf(s), config.num_channels)
+        )
+    return params
+
+
+def _g_base(params: dict, z: jax.Array, config: ProGANConfig, dtype) -> jax.Array:
+    z = pixel_norm(z.astype(dtype))
+    x = eq_dense(params["base_dense"], z)
+    x = x.reshape(z.shape[0], 4, 4, config.nf(0))
+    x = pixel_norm(lrelu(x))
+    x = pixel_norm(lrelu(eq_conv(params["base_conv"], x)))
+    return x
+
+
+def _g_block(block: dict, x: jax.Array) -> jax.Array:
+    x = upsample_nearest_2x(x)
+    x = pixel_norm(lrelu(eq_conv(block["conv1"], x)))
+    x = pixel_norm(lrelu(eq_conv(block["conv2"], x)))
+    return x
+
+
+def generator_features(
+    params: dict, z: jax.Array, config: ProGANConfig, stage: int,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Run the trunk to ``stage``; returns (x_stage, x_prev_or_None)."""
+    x = _g_base(params, z, config, dtype)
+    prev = None
+    for s in range(1, stage + 1):
+        prev = x
+        x = _g_block(params["blocks"][s - 1], x)
+    return x, prev
+
+
+def generator_rgb(
+    params: dict,
+    z: jax.Array,
+    config: ProGANConfig,
+    stage: int,
+    alpha: jax.Array | float = 1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Latent -> pre-tanh RGB at resolution ``4 * 2**stage`` with progressive
+    alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha)."""
+    x, prev = generator_features(params, z, config, stage, dtype)
+    rgb = eq_conv(params["to_rgb"][stage], x, gain=1.0)
+    if stage > 0:
+        rgb_prev = upsample_nearest_2x(eq_conv(params["to_rgb"][stage - 1], prev, gain=1.0))
+        alpha = jnp.asarray(alpha, dtype=rgb.dtype)
+        rgb = rgb_prev + alpha * (rgb - rgb_prev)
+    return rgb
+
+
+def generator_apply(
+    params: dict,
+    z: jax.Array,
+    config: ProGANConfig,
+    stage: int,
+    alpha: jax.Array | float = 1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Full image path: latent -> uint8 image [B, R, R, 3]."""
+    return to_uint8(generator_rgb(params, z, config, stage, alpha, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+def init_discriminator(key: jax.Array, config: ProGANConfig) -> dict:
+    n = config.num_stages
+    keys = iter(jax.random.split(key, 3 + 3 * n))
+    params: dict[str, Any] = {
+        "from_rgb": [
+            _eq_conv_init(next(keys), 1, 1, config.num_channels, config.nf(s))
+            for s in range(n)
+        ],
+        "blocks": [],
+        # final 4x4 block (input has +1 channel from minibatch stddev)
+        "final_conv": _eq_conv_init(next(keys), 3, 3, config.nf(0) + 1, config.nf(0)),
+        "final_dense": _eq_dense_init(next(keys), config.nf(0) * 16, config.nf(0)),
+        "out_dense": _eq_dense_init(next(keys), config.nf(0), 1),
+    }
+    for s in range(1, n):
+        params["blocks"].append(
+            {
+                "conv1": _eq_conv_init(next(keys), 3, 3, config.nf(s), config.nf(s)),
+                "conv2": _eq_conv_init(next(keys), 3, 3, config.nf(s), config.nf(s - 1)),
+            }
+        )
+    return params
+
+
+def minibatch_stddev(x: jax.Array) -> jax.Array:
+    """Append one channel holding the batch-wide mean feature stddev."""
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+    stddev = jnp.mean(jnp.sqrt(var + 1e-8))
+    feat = jnp.full(x.shape[:3] + (1,), stddev, dtype=x.dtype)
+    return jnp.concatenate([x, feat], axis=-1)
+
+
+def _d_block(block: dict, x: jax.Array) -> jax.Array:
+    x = lrelu(eq_conv(block["conv1"], x))
+    x = lrelu(eq_conv(block["conv2"], x))
+    return downsample_avg_2x(x)
+
+
+def discriminator_apply(
+    params: dict,
+    image: jax.Array,
+    config: ProGANConfig,
+    stage: int,
+    alpha: jax.Array | float = 1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
+    realness logit [B]. Mirrors the generator's progressive blend: after the
+    first down block, lerp with fromRGB of the downsampled image."""
+    image = image.astype(dtype)
+    x = lrelu(eq_conv(params["from_rgb"][stage], image))
+    for s in range(stage, 0, -1):
+        x = _d_block(params["blocks"][s - 1], x)
+        if s == stage and stage > 0:
+            skip = lrelu(
+                eq_conv(params["from_rgb"][stage - 1], downsample_avg_2x(image))
+            )
+            a = jnp.asarray(alpha, dtype=x.dtype)
+            x = skip + a * (x - skip)
+    x = minibatch_stddev(x)
+    x = lrelu(eq_conv(params["final_conv"], x))
+    x = x.reshape(x.shape[0], -1)
+    x = lrelu(eq_dense(params["final_dense"], x))
+    return eq_dense(params["out_dense"], x, gain=1.0)[..., 0]

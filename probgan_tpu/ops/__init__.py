@@ -1,0 +1,1 @@
+"""Compute ops: jnp reference implementations + Pallas TPU kernels."""

@@ -1,0 +1,47 @@
+"""Mesh construction helpers.
+
+Axes convention (SURVEY.md §2.2):
+- ``data``  — batch data parallelism (queries / latents / images).
+- ``model`` — tensor parallelism: the entity table ``node_emb [N, D]`` is
+  sharded over rows so the ranking matmul's N axis (the reference's only
+  scaling axis, SURVEY.md §5.7) splits across chips.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    model_parallelism: int | None = None,
+    axis_names: tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Build a (data, model) mesh over the first ``n_devices`` devices.
+
+    ``model_parallelism`` defaults to the largest power of two <= sqrt(n) that
+    divides n — a balanced split for the rank matmul; pass 1 for pure DP or
+    n for pure TP.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+
+    if model_parallelism is None:
+        model_parallelism = 1
+        while (
+            model_parallelism * 2 <= n_devices
+            and n_devices % (model_parallelism * 2) == 0
+            and (model_parallelism * 2) ** 2 <= n_devices * 2
+        ):
+            model_parallelism *= 2
+    if n_devices % model_parallelism != 0:
+        raise ValueError(
+            f"model_parallelism={model_parallelism} must divide n_devices={n_devices}"
+        )
+
+    grid = np.asarray(devices).reshape(n_devices // model_parallelism, model_parallelism)
+    return Mesh(grid, axis_names)

@@ -1,0 +1,67 @@
+"""Checkpoint round-trips: native msgpack, torch .pt interop, format detect."""
+
+import numpy as np
+import pytest
+
+from probgan_tpu.core.checkpoint import (
+    load_checkpoint,
+    params_to_torch_state,
+    save_checkpoint,
+    torch_state_to_params,
+)
+
+
+def _assert_ckpt_equal(a: dict, b: dict):
+    np.testing.assert_allclose(a["node_emb"], b["node_emb"], rtol=1e-6)
+    np.testing.assert_allclose(
+        a["rel_emb"]["weight"], b["rel_emb"]["weight"], rtol=1e-6
+    )
+    for model in ("generator", "discriminator"):
+        for layer in a[model]:
+            np.testing.assert_allclose(
+                a[model][layer]["w"], b[model][layer]["w"], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                a[model][layer]["b"], b[model][layer]["b"], rtol=1e-6
+            )
+    assert float(a["best_val_hit10"]) == pytest.approx(float(b["best_val_hit10"]))
+    assert int(a["best_epoch"]) == int(b["best_epoch"])
+    assert dict(a["args"]) == dict(b["args"])
+
+
+def test_native_roundtrip(ckpt_dict, native_ckpt_path):
+    loaded = load_checkpoint(native_ckpt_path)
+    _assert_ckpt_equal(ckpt_dict, loaded)
+
+
+def test_torch_pt_roundtrip(ckpt_dict, torch_ckpt_path):
+    """The reference artifact is a torch .pt (pro_b_gan_infer.py:74); we must
+    read and write it losslessly."""
+    loaded = load_checkpoint(torch_ckpt_path)
+    _assert_ckpt_equal(ckpt_dict, loaded)
+
+
+def test_format_detected_by_content_not_extension(tmp_path, ckpt_dict):
+    """A native-format file named .pt must still load (detection is by file
+    magic, not extension)."""
+    path = tmp_path / "best_checkpoint.pt"
+    save_checkpoint(str(path), ckpt_dict, format="native")
+    loaded = load_checkpoint(str(path))
+    _assert_ckpt_equal(ckpt_dict, loaded)
+
+
+def test_missing_checkpoint_message():
+    """Error surface matches pro_b_gan_infer.py:71-72."""
+    with pytest.raises(FileNotFoundError, match="Checkpoint not found: /nope.pt"):
+        load_checkpoint("/nope.pt")
+
+
+def test_torch_layout_transpose_roundtrip(ckpt_dict):
+    params = ckpt_dict["generator"]
+    state = params_to_torch_state(params)
+    # torch Linear stores [out, in]
+    assert state["fc1.weight"].shape == params["fc1"]["w"].shape[::-1]
+    back = torch_state_to_params(state)
+    for layer in params:
+        np.testing.assert_allclose(params[layer]["w"], back[layer]["w"])
+        np.testing.assert_allclose(params[layer]["b"], back[layer]["b"])

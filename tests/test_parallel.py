@@ -1,0 +1,65 @@
+"""Sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+entity-table TP rank must bit-match the single-device ranking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probgan_tpu.ops import rank as rank_ops
+from probgan_tpu.parallel import make_mesh, sharded_rank_topk
+from probgan_tpu.parallel.sharded_rank import shard_entity_table
+
+
+def test_virtual_device_count():
+    assert len(jax.devices()) == 8, "conftest must force an 8-device CPU mesh"
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.size == 8
+    pure_dp = make_mesh(8, model_parallelism=1)
+    assert pure_dp.shape["model"] == 1 and pure_dp.shape["data"] == 8
+    pure_tp = make_mesh(8, model_parallelism=8)
+    assert pure_tp.shape["model"] == 8
+
+
+def test_make_mesh_rejects_nondivisible():
+    with pytest.raises(ValueError, match="must divide"):
+        make_mesh(8, model_parallelism=3)
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_sharded_rank_matches_single_device(tp):
+    mesh = make_mesh(8, model_parallelism=tp)
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (1024, 64), dtype=jnp.float32)
+    queries = jax.random.normal(jax.random.key(1), (16, 64), dtype=jnp.float32)
+
+    table_norm = rank_ops.l2_normalize(table)
+    q_norm = rank_ops.l2_normalize(queries)
+
+    ref_v, ref_i = rank_ops.rank_topk(q_norm, table_norm, 10)
+
+    sharded_table = shard_entity_table(table_norm, mesh)
+    v, i = sharded_rank_topk(q_norm, sharded_table, 10, mesh)
+
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), atol=1e-6)
+
+
+def test_sharded_rank_with_duplicate_scores():
+    """Tie-break parity: duplicate rows across different shards must resolve
+    to the lowest global index, like single-device lax.top_k."""
+    mesh = make_mesh(8, model_parallelism=4)
+    base = jax.random.normal(jax.random.key(2), (256, 32), dtype=jnp.float32)
+    table = jnp.concatenate([base, base, base, base], axis=0)  # dup across shards
+    table_norm = rank_ops.l2_normalize(table)
+    q_norm = rank_ops.l2_normalize(
+        jax.random.normal(jax.random.key(3), (4, 32), dtype=jnp.float32)
+    )
+    ref_v, ref_i = rank_ops.rank_topk(q_norm, table_norm, 8)
+    v, i = sharded_rank_topk(q_norm, shard_entity_table(table_norm, mesh), 8, mesh)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), atol=1e-6)
