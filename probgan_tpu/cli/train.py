@@ -1,0 +1,237 @@
+"""KG-GAN trainer CLI — the reference's missing training entry point.
+
+The reference repo references ``python prot_b_gan.py --data_root /path/to/data
+--debug --verbose`` three times (install_pro_b_gan.py:59,83,160) but ships no
+trainer; only its artifact schema survives (``./modular_results/
+best_checkpoint.pt`` with the C17 keys, pro_b_gan_infer.py:12,74-112;
+SURVEY.md §0.1). This module supplies that trainer: it honors the advertised
+flags, tracks ``best_val_hit10``/``best_epoch``/``training_history`` across
+epochs (the best-tracking implied by the checkpoint keys), and writes the
+exact C17 schema — by default as a torch ``.pt`` so the artifact is
+interchangeable with the reference ecosystem.
+
+Data format: ``train.txt`` (+ optional ``valid.txt``) under ``--data_root``,
+one tab/space-separated ``head relation tail`` triplet per line. Integer ids
+are used directly; string names are assigned ids from a vocabulary built over
+all splits (id maps are saved alongside the checkpoint).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def load_triplets(data_root: str, debug: bool = False):
+    """Read train/valid splits. Returns (train [n,3], valid [m,3] or None,
+    num_entities, num_relations, vocab-or-None)."""
+    train_path = os.path.join(data_root, "train.txt")
+    if not os.path.exists(train_path):
+        raise FileNotFoundError(f"Training data not found: {train_path}")
+    valid_path = os.path.join(data_root, "valid.txt")
+
+    def read(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 3:
+                    rows.append(parts[:3])
+        return rows
+
+    raw_train = read(train_path)
+    raw_valid = read(valid_path) if os.path.exists(valid_path) else None
+
+    def all_int(rows):
+        return all(tok.lstrip("-").isdigit() for row in rows for tok in row)
+
+    every = raw_train + (raw_valid or [])
+    vocab = None
+    if all_int(every):
+        train = np.asarray(raw_train, dtype=np.int32)
+        valid = np.asarray(raw_valid, dtype=np.int32) if raw_valid else None
+    else:
+        ents: dict[str, int] = {}
+        rels: dict[str, int] = {}
+        for h, r, t in every:
+            ents.setdefault(h, len(ents))
+            rels.setdefault(r, len(rels))
+            ents.setdefault(t, len(ents))
+        vocab = {"entities": ents, "relations": rels}
+
+        def enc(rows):
+            return np.asarray(
+                [[ents[h], rels[r], ents[t]] for h, r, t in rows], dtype=np.int32
+            )
+
+        train = enc(raw_train)
+        valid = enc(raw_valid) if raw_valid else None
+
+    num_entities = int(max(train[:, [0, 2]].max(), valid[:, [0, 2]].max() if valid is not None else 0)) + 1
+    num_relations = int(max(train[:, 1].max(), valid[:, 1].max() if valid is not None else 0)) + 1
+    if debug:
+        print(f"[debug] train={len(train)} valid={0 if valid is None else len(valid)} "
+              f"entities={num_entities} relations={num_relations}")
+    return train, valid, num_entities, num_relations, vocab
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Prot-B-GAN Training System")
+    parser.add_argument("--data_root", type=str, required=True,
+                        help="Directory containing train.txt (and optional valid.txt)")
+    parser.add_argument("--debug", action="store_true",
+                        help="Enable NaN checking and extra diagnostics")
+    parser.add_argument("--verbose", action="store_true",
+                        help="Per-batch progress logging")
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch_size", type=int, default=1024)
+    parser.add_argument("--embed_dim", type=int, default=128)
+    parser.add_argument("--noise_dim", type=int, default=64)
+    parser.add_argument("--hidden_dim", type=int, default=1024)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--cosine_weight", type=float, default=1.0)
+    parser.add_argument("--ce_weight", type=float, default=1.0,
+                        help="Weight of the full-softmax ranking loss")
+    parser.add_argument("--adv_weight", type=float, default=0.1,
+                        help="Weight of the adversarial fool-D term in the generator loss")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output_dir", type=str, default="./modular_results",
+                        help="Where best_checkpoint.pt is written "
+                             "(the reference's default artifact path)")
+    parser.add_argument("--checkpoint_format", type=str, default="torch",
+                        choices=["torch", "native"])
+    parser.add_argument("--device", type=str, default="auto",
+                        choices=["auto", "tpu", "cuda", "cpu"])
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    from probgan_tpu.core.checkpoint import save_checkpoint
+    from probgan_tpu.core.device import device_str, resolve_device
+    from probgan_tpu.engine import train as train_engine
+
+    device = resolve_device(args.device)
+    print("Prot-B-GAN training...")
+    print(f"Data root: {args.data_root}")
+    print(f"Device: {device_str(device)}")
+
+    train, valid, num_entities, num_relations, vocab = load_triplets(
+        args.data_root, args.debug
+    )
+    if valid is None:
+        # hold out 5% of train for validation (best-tracking needs a signal)
+        rng = np.random.RandomState(args.seed)
+        perm = rng.permutation(len(train))
+        n_val = max(1, len(train) // 20)
+        valid, train = train[perm[:n_val]], train[perm[n_val:]]
+
+    print(f"  - Entities: {num_entities:,}")
+    print(f"  - Relations: {num_relations:,}")
+    print(f"  - Train triplets: {len(train):,}")
+    print(f"  - Valid triplets: {len(valid):,}")
+
+    with jax.default_device(device):
+        state = train_engine.kg_init_state(
+            jax.random.key(args.seed),
+            num_entities,
+            num_relations,
+            args.embed_dim,
+            args.noise_dim,
+            args.hidden_dim,
+            args.lr,
+        )
+
+        rng = np.random.RandomState(args.seed)
+        history: dict[str, list] = {"val_hit10": [], "d_loss": [], "g_loss": []}
+        best_hit10, best_epoch = 0.0, 0
+        os.makedirs(args.output_dir, exist_ok=True)
+        ckpt_ext = ".pt" if args.checkpoint_format == "torch" else ".msgpack"
+        ckpt_path = os.path.join(args.output_dir, f"best_checkpoint{ckpt_ext}")
+
+        noise_dim = args.noise_dim
+        valid_dev = jnp.asarray(valid)
+        eval_key = jax.random.key(args.seed + 1)
+        z_eval = jax.random.normal(eval_key, (len(valid), noise_dim), jnp.float32)
+
+        def checkpoint_dict(state, hit10, epoch):
+            ckpt = {
+                "args": {
+                    "embed_dim": args.embed_dim,
+                    "noise_dim": args.noise_dim,
+                    "hidden_dim": args.hidden_dim,
+                },
+                "node_emb": np.asarray(state.node_emb),
+                "rel_emb": {"weight": np.asarray(state.rel_emb)},
+                "generator": jax.tree.map(np.asarray, state.g_params),
+                "discriminator": jax.tree.map(np.asarray, state.d_params),
+                "best_val_hit10": float(hit10),
+                "best_epoch": int(epoch),
+                "training_history": history,
+            }
+            return ckpt
+
+        steps_per_epoch = max(1, len(train) // args.batch_size)
+        for epoch in range(1, args.epochs + 1):
+            t0 = time.time()
+            perm = rng.permutation(len(train))
+            epoch_d, epoch_g = 0.0, 0.0
+            for step in range(steps_per_epoch):
+                idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
+                batch = jnp.asarray(train[idx])
+                key = jax.random.fold_in(jax.random.key(args.seed), epoch * 100003 + step)
+                state, metrics = train_engine.kg_train_step(
+                    state, batch, key, args.lr, args.cosine_weight, args.ce_weight,
+                    args.adv_weight,
+                )
+                epoch_d += float(metrics["d_loss"])
+                epoch_g += float(metrics["g_loss"])
+                if args.verbose:
+                    print(
+                        f"  epoch {epoch} step {step + 1}/{steps_per_epoch} "
+                        f"d_loss={float(metrics['d_loss']):.4f} "
+                        f"g_loss={float(metrics['g_loss']):.4f} "
+                        f"gen_cos={float(metrics['gen_cosine']):.4f}"
+                    )
+
+            hit10 = float(
+                train_engine.kg_eval_hits(
+                    state.g_params, state.node_emb, state.rel_emb, valid_dev, z_eval, 10
+                )
+            )
+            history["val_hit10"].append(hit10)
+            history["d_loss"].append(epoch_d / steps_per_epoch)
+            history["g_loss"].append(epoch_g / steps_per_epoch)
+            print(
+                f"Epoch {epoch}/{args.epochs}: val Hit@10={hit10:.4f} "
+                f"d_loss={epoch_d / steps_per_epoch:.4f} "
+                f"g_loss={epoch_g / steps_per_epoch:.4f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+
+            if hit10 >= best_hit10:
+                best_hit10, best_epoch = hit10, epoch
+                save_checkpoint(ckpt_path, checkpoint_dict(state, best_hit10, best_epoch))
+                if args.verbose:
+                    print(f"  new best; checkpoint saved to {ckpt_path}")
+
+        if vocab is not None:
+            with open(os.path.join(args.output_dir, "vocab.json"), "w") as f:
+                json.dump(vocab, f)
+
+        print("Training complete!")
+        print(f"  - Best validation Hit@10: {best_hit10:.4f}")
+        print(f"  - Achieved at epoch: {best_epoch}")
+        print(f"  - Checkpoint: {ckpt_path}")
+        return 0

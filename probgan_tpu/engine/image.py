@@ -1,0 +1,147 @@
+"""Image-synthesis engine: batched latent -> image generation, discriminator
+scoring, and latent-space walks (BASELINE.json configs 2-5).
+
+All hot paths are module-level jitted pure functions keyed on the (hashable,
+frozen) ProGANConfig + static stage, so each benchmark resolution compiles
+exactly one graph; ``alpha`` is traced (one graph serves the whole 256²
+fade-in sweep). The final tanh->uint8 denorm optionally runs as the fused
+Pallas kernel (ops/pallas_image.py) — on by default on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probgan_tpu.core.device import resolve_device
+from probgan_tpu.core.rng import RngStream
+from probgan_tpu.models import pro_gan
+from probgan_tpu.ops import pallas_image
+from probgan_tpu.utils.profiling import task_trace
+
+
+@partial(jax.jit, static_argnames=("config", "stage", "dtype", "use_pallas"))
+def generate_fn(
+    g_params,
+    z,
+    alpha,
+    config: pro_gan.ProGANConfig,
+    stage: int,
+    dtype=jnp.float32,
+    use_pallas: bool = False,
+):
+    """Latent [B, L] -> uint8 images [B, R, R, 3]."""
+    rgb = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype)
+    if use_pallas:
+        return pallas_image.to_uint8_fused(rgb)
+    return pro_gan.to_uint8(rgb)
+
+
+@partial(jax.jit, static_argnames=("config", "stage", "dtype"))
+def score_fn(d_params, images, alpha, config: pro_gan.ProGANConfig, stage: int,
+             dtype=jnp.float32):
+    """Float images (~[-1, 1]) -> realness logits [B]."""
+    return pro_gan.discriminator_apply(d_params, images, config, stage, alpha, dtype)
+
+
+@partial(jax.jit, static_argnames=("config", "stage", "frames", "dtype", "use_pallas"))
+def latent_walk_fn(
+    g_params,
+    z0,
+    z1,
+    alpha,
+    config: pro_gan.ProGANConfig,
+    stage: int,
+    frames: int,
+    dtype=jnp.float32,
+    use_pallas: bool = False,
+):
+    """Interpolate z0 -> z1 in ``frames`` steps and render each
+    (BASELINE config 4: 512² 64-frame z-walk). Linear interpolation in
+    z-space; frames are the batch dimension of one generator call."""
+    t = jnp.linspace(0.0, 1.0, frames, dtype=z0.dtype)[:, None]
+    z = z0[None, :] * (1.0 - t) + z1[None, :] * t
+    return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas)
+
+
+class ImageGANEngine:
+    """Stateful wrapper: owns params, RNG stream, and device placement."""
+
+    def __init__(
+        self,
+        config: pro_gan.ProGANConfig,
+        g_params=None,
+        d_params=None,
+        device: str = "auto",
+        seed: int = 0,
+        dtype=jnp.float32,
+        use_pallas: bool | None = None,
+    ):
+        self.config = config
+        self.device = resolve_device(device)
+        self.dtype = dtype
+        if use_pallas is None:
+            use_pallas = self.device.platform == "tpu"
+        self.use_pallas = use_pallas
+        self._rng = RngStream(seed)
+
+        key = jax.random.fold_in(jax.random.key(seed), 0xC0FFEE)
+        kg, kd = jax.random.split(key)
+        put = partial(jax.device_put, device=self.device)
+        self.g_params = jax.tree.map(
+            put, g_params if g_params is not None else pro_gan.init_generator(kg, config)
+        )
+        self.d_params = jax.tree.map(
+            put, d_params if d_params is not None else pro_gan.init_discriminator(kd, config)
+        )
+
+    @property
+    def final_stage(self) -> int:
+        return self.config.num_stages - 1
+
+    def sample_latents(self, n: int) -> jax.Array:
+        key = self._rng.next_key()
+        return jax.device_put(
+            jax.random.normal(key, (n, self.config.latent_dim), dtype=jnp.float32),
+            self.device,
+        )
+
+    def generate(self, latents, stage: int | None = None, alpha: float = 1.0) -> np.ndarray:
+        if stage is None:
+            stage = self.final_stage
+        z = jax.device_put(jnp.asarray(latents, jnp.float32), self.device)
+        with task_trace("generate_images"):
+            img = generate_fn(
+                self.g_params, z, jnp.float32(alpha), self.config, stage,
+                self.dtype, self.use_pallas,
+            )
+            return np.asarray(jax.device_get(img))
+
+    def score(self, images, stage: int | None = None, alpha: float = 1.0) -> np.ndarray:
+        if stage is None:
+            stage = self.final_stage
+        x = jax.device_put(jnp.asarray(images, jnp.float32), self.device)
+        with task_trace("score_images"):
+            return np.asarray(
+                jax.device_get(
+                    score_fn(self.d_params, x, jnp.float32(alpha), self.config, stage, self.dtype)
+                )
+            )
+
+    def latent_walk(
+        self, z0, z1, frames: int = 64, stage: int | None = None, alpha: float = 1.0
+    ) -> np.ndarray:
+        if stage is None:
+            stage = self.final_stage
+        z0 = jax.device_put(jnp.asarray(z0, jnp.float32), self.device)
+        z1 = jax.device_put(jnp.asarray(z1, jnp.float32), self.device)
+        with task_trace("latent_walk"):
+            img = latent_walk_fn(
+                self.g_params, z0, z1, jnp.float32(alpha), self.config, stage,
+                frames, self.dtype, self.use_pallas,
+            )
+            return np.asarray(jax.device_get(img))

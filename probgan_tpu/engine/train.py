@@ -1,0 +1,262 @@
+"""Training steps: one jitted G/D adversarial step for each model family.
+
+The reference's trainer (``prot_b_gan.py``) is missing from its repo — only
+its artifact schema survives (SURVEY.md §0.1, §2.3 C17) — so the losses here
+are this framework's documented choices:
+
+- Non-saturating logistic GAN losses (softplus form) for both families.
+- ProGAN: plain NS-GAN on images at the active (stage, alpha)
+  (BASELINE config 5 requires exactly "one G/D training step").
+- KG-GAN: the discriminator separates true tails from generated tails for
+  the same (h, r); the generator — trained JOINTLY with the entity/relation
+  tables — fools the discriminator and minimizes a full-softmax ranking
+  cross-entropy over the entity table (temperature-scaled cosine logits,
+  gradients flowing to both the prediction and the table, i.e. a softmax
+  classifier whose class embeddings are the entity table) plus a cosine
+  reconstruction pull. The cross-entropy is the direct differentiable
+  surrogate of the Hit@10 metric the checkpoints carry
+  (pro_b_gan_infer.py:110).
+
+Everything is a pure (state, batch, key) -> (state, metrics) function built
+on optax, so the same step jits single-chip and pjits over a data-parallel
+mesh (see parallel/ and __graft_entry__.dryrun_multichip).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from probgan_tpu.models import kg_gan, pro_gan
+from probgan_tpu.ops import rank as rank_ops
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+# ---------------------------------------------------------------------------
+# ProGAN (image) step
+# ---------------------------------------------------------------------------
+
+class ProGANTrainState(NamedTuple):
+    g_params: dict
+    d_params: dict
+    g_opt: optax.OptState
+    d_opt: optax.OptState
+
+
+def progan_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    # ProGAN's Adam settings (b1=0 stabilizes adversarial training).
+    return optax.adam(lr, b1=0.0, b2=0.99, eps=1e-8)
+
+
+def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 1e-3):
+    kg, kd = jax.random.split(key)
+    g_params = pro_gan.init_generator(kg, config)
+    d_params = pro_gan.init_discriminator(kd, config)
+    opt = progan_optimizer(lr)
+    return ProGANTrainState(g_params, d_params, opt.init(g_params), opt.init(d_params))
+
+
+@partial(jax.jit, static_argnames=("config", "stage", "lr", "dtype"))
+def progan_train_step(
+    state: ProGANTrainState,
+    real_images: jax.Array,
+    z: jax.Array,
+    alpha: jax.Array,
+    config: pro_gan.ProGANConfig,
+    stage: int,
+    lr: float = 1e-3,
+    dtype=jnp.float32,
+):
+    """One non-saturating G/D step at (stage, alpha). ``real_images`` are
+    float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim]."""
+    opt = progan_optimizer(lr)
+
+    def d_loss_fn(d_params):
+        fake = pro_gan.generator_rgb(state.g_params, z, config, stage, alpha, dtype)
+        real_logits = pro_gan.discriminator_apply(
+            d_params, real_images, config, stage, alpha, dtype
+        )
+        fake_logits = pro_gan.discriminator_apply(
+            d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype
+        )
+        loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
+        return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
+
+    (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True
+    )(state.d_params)
+    d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    def g_loss_fn(g_params):
+        fake = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype)
+        fake_logits = pro_gan.discriminator_apply(
+            d_params, fake, config, stage, alpha, dtype
+        )
+        return jnp.mean(_softplus(-fake_logits))
+
+    g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+    g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+
+    metrics = {
+        "d_loss": d_loss,
+        "g_loss": g_loss,
+        "real_logit": real_mean,
+        "fake_logit": fake_mean,
+    }
+    return ProGANTrainState(g_params, d_params, g_opt, d_opt), metrics
+
+
+# ---------------------------------------------------------------------------
+# KG-GAN (link prediction) step
+# ---------------------------------------------------------------------------
+
+class KGTrainState(NamedTuple):
+    node_emb: jax.Array       # [N, D] trainable entity table
+    rel_emb: jax.Array        # [R, D] trainable relation table
+    g_params: dict
+    d_params: dict
+    g_opt: optax.OptState     # optimizes (g_params, node_emb, rel_emb)
+    d_opt: optax.OptState     # optimizes d_params
+
+
+def kg_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def kg_init_state(
+    key: jax.Array,
+    num_entities: int,
+    num_relations: int,
+    embed_dim: int = 128,
+    noise_dim: int = 64,
+    hidden_dim: int = 1024,
+    lr: float = 1e-3,
+) -> KGTrainState:
+    kn, kr, kg, kd = jax.random.split(key, 4)
+    node_emb = jax.random.normal(kn, (num_entities, embed_dim)) * 0.1
+    rel_emb = jax.random.normal(kr, (num_relations, embed_dim)) * 0.1
+    g_params = kg_gan.init_generator(kg, embed_dim, noise_dim)
+    d_params = kg_gan.init_discriminator(kd, embed_dim, hidden_dim)
+    opt = kg_optimizer(lr)
+    return KGTrainState(
+        node_emb,
+        rel_emb,
+        g_params,
+        d_params,
+        opt.init((g_params, node_emb, rel_emb)),
+        opt.init(d_params),
+    )
+
+
+_CE_TEMPERATURE = 0.1
+
+
+def _rank_ce(pred: jax.Array, node_emb: jax.Array, t_idx: jax.Array) -> jax.Array:
+    """Full-softmax cross-entropy of temperature-scaled cosine logits against
+    the true tail — the differentiable surrogate of Hit@k ranking."""
+    logits = rank_ops.cosine_scores(
+        rank_ops.l2_normalize(pred), rank_ops.l2_normalize(node_emb),
+        precision=jax.lax.Precision.DEFAULT,
+    ) / _CE_TEMPERATURE
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, t_idx[:, None], axis=1))
+
+
+@partial(jax.jit, static_argnames=("lr", "cosine_weight", "ce_weight", "adv_weight"))
+def kg_train_step(
+    state: KGTrainState,
+    triplets: jax.Array,  # [B, 3] int (h, r, t) positive triplets
+    key: jax.Array,
+    lr: float = 1e-3,
+    cosine_weight: float = 1.0,
+    ce_weight: float = 1.0,
+    adv_weight: float = 0.1,
+):
+    """One adversarial step on a batch of positive triplets.
+
+    D separates (h, r, t_true) from (h, r, G(h, r, z)) with the tables
+    frozen; then G and the embedding tables train jointly on
+    fool-D + ranking cross-entropy + cosine reconstruction."""
+    opt = kg_optimizer(lr)
+    noise_dim = kg_gan.generator_dims(state.g_params)[1]
+    z = jax.random.normal(key, (triplets.shape[0], noise_dim), dtype=jnp.float32)
+    h_idx, r_idx, t_idx = triplets[:, 0], triplets[:, 1], triplets[:, 2]
+
+    # --- D step (tables frozen) ---
+    def d_loss_fn(d_params):
+        h = state.node_emb[h_idx]
+        r = state.rel_emb[r_idx]
+        t = state.node_emb[t_idx]
+        fake_t = jax.lax.stop_gradient(
+            kg_gan.generator_apply(state.g_params, h, r, z)
+        )
+        real_logits = kg_gan.discriminator_apply(d_params, h, r, t)
+        fake_logits = kg_gan.discriminator_apply(d_params, h, r, fake_t)
+        adv = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
+        return adv, (jnp.mean(real_logits), jnp.mean(fake_logits))
+
+    (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True
+    )(state.d_params)
+    d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    # --- G + tables step ---
+    def g_loss_fn(g_and_tables):
+        g_params, node_emb, rel_emb = g_and_tables
+        h, r, t = node_emb[h_idx], rel_emb[r_idx], node_emb[t_idx]
+        fake_t = kg_gan.generator_apply(g_params, h, r, z)
+        fake_logits = kg_gan.discriminator_apply(d_params, h, r, fake_t)
+        adv = jnp.mean(_softplus(-fake_logits))
+        cos = jnp.mean(rank_ops.cosine_similarity(fake_t, t))
+        ce = _rank_ce(fake_t, node_emb, t_idx)
+        # adv is down-weighted by default: the ranking cross-entropy is the
+        # quality-bearing objective; an unconstrained discriminator's
+        # gradient otherwise swamps it (g_loss diverges, Hit@10 stalls).
+        return adv_weight * adv - cosine_weight * cos + ce_weight * ce, cos
+
+    g_and_tables = (state.g_params, state.node_emb, state.rel_emb)
+    (g_loss, g_cos), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        g_and_tables
+    )
+    g_updates, g_opt = opt.update(g_grads, state.g_opt, g_and_tables)
+    g_params, node_emb, rel_emb = optax.apply_updates(g_and_tables, g_updates)
+
+    metrics = {
+        "d_loss": d_loss,
+        "g_loss": g_loss,
+        "real_logit": real_mean,
+        "fake_logit": fake_mean,
+        "gen_cosine": g_cos,
+    }
+    return (
+        KGTrainState(node_emb, rel_emb, g_params, d_params, g_opt, d_opt),
+        metrics,
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kg_eval_hits(
+    g_params, node_emb, rel_emb, triplets, z, k: int = 10
+) -> jax.Array:
+    """Hit@k of the true tail under generator cosine ranking — the quality
+    metric the reference carries in checkpoints (pro_b_gan_infer.py:110).
+    Rank = 1 + #entities scoring strictly higher than the true tail."""
+    h = node_emb[triplets[:, 0]]
+    r = rel_emb[triplets[:, 1]]
+    pred = kg_gan.generator_apply(g_params, h, r, z)
+    pred_n = rank_ops.l2_normalize(pred)
+    table_n = rank_ops.l2_normalize(node_emb)
+    sims = rank_ops.cosine_scores(pred_n, table_n)  # [B, N]
+    true_sim = jnp.take_along_axis(sims, triplets[:, 2:3], axis=1)
+    rank = 1 + jnp.sum(sims > true_sim, axis=1)
+    return jnp.mean((rank <= k).astype(jnp.float32))

@@ -75,9 +75,12 @@ def supports(shape: tuple[int, ...]) -> bool:
     return total % _LANES == 0 and _choose_tile_rows(total // _LANES) > 0
 
 
-def to_uint8_fused(rgb: jax.Array, *, interpret: bool = False) -> jax.Array:
+def to_uint8_fused(rgb: jax.Array, *, interpret: bool | None = None) -> jax.Array:
     """Drop-in for models/pro_gan.py:to_uint8, fused into one VPU pass.
-    Falls back to the jnp path when the element count doesn't tile."""
+    Falls back to the jnp path when the element count doesn't tile.
+    ``interpret`` defaults to True off-TPU so the kernel is testable on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if not supports(rgb.shape):
         from probgan_tpu.models.pro_gan import to_uint8
 

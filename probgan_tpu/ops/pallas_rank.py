@@ -79,10 +79,13 @@ def supports(pred_shape: tuple[int, int], n: int) -> bool:
 
 
 def rank_scores_fused(
-    pred: jax.Array, table_norm: jax.Array, *, interpret: bool = False
+    pred: jax.Array, table_norm: jax.Array, *, interpret: bool | None = None
 ) -> jax.Array:
     """[B, D] raw predictions x [N, D] pre-normalized table -> [B, N] cosine
-    scores. Falls back to the jnp path off-gate."""
+    scores. Falls back to the jnp path off-gate. ``interpret`` defaults to
+    True off-TPU so the kernel is testable on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     if not supports(pred.shape, table_norm.shape[0]):
         return rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
     return _rank_scores_pallas(pred, table_norm, interpret=interpret)

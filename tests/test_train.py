@@ -1,0 +1,184 @@
+"""Training-step tests: one G/D step for both model families updates params
+and produces finite losses; the KG trainer CLI runs end-to-end on a tiny
+synthetic dataset and writes a checkpoint the inference engine loads."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probgan_tpu.engine import train as train_engine
+from probgan_tpu.models import pro_gan
+
+
+def _tree_any_changed(a, b) -> bool:
+    leaves = zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    return any(not np.array_equal(np.asarray(x), np.asarray(y)) for x, y in leaves)
+
+
+def test_progan_train_step_updates_both_nets():
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64, fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    real = jax.random.uniform(jax.random.key(1), (4, r, r, 3), minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.key(2), (4, cfg.latent_dim))
+
+    new_state, metrics = train_engine.progan_train_step(
+        state, real, z, jnp.float32(0.7), cfg, stage
+    )
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    assert _tree_any_changed(state.g_params, new_state.g_params)
+    assert _tree_any_changed(state.d_params, new_state.d_params)
+
+
+def test_progan_d_loss_decreases_on_repeat():
+    """A few D steps on the same batch must reduce d_loss (sanity: gradients
+    point the right way)."""
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64, fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=5e-3)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    real = jax.random.uniform(jax.random.key(1), (8, r, r, 3), minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.key(2), (8, cfg.latent_dim))
+
+    first = None
+    for _ in range(5):
+        state, metrics = train_engine.progan_train_step(
+            state, real, z, jnp.float32(1.0), cfg, stage
+        )
+        if first is None:
+            first = float(metrics["d_loss"])
+    assert float(metrics["d_loss"]) < first
+
+
+def test_kg_train_step_and_eval():
+    state = train_engine.kg_init_state(
+        jax.random.key(0), num_entities=30, num_relations=5,
+        embed_dim=16, noise_dim=8, hidden_dim=32,
+    )
+    trips = jnp.asarray(
+        np.random.RandomState(0).randint(0, [30, 5, 30], size=(64, 3)), jnp.int32
+    )
+    new_state, metrics = train_engine.kg_train_step(state, trips, jax.random.key(1))
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    assert _tree_any_changed(state.node_emb, new_state.node_emb)
+    assert _tree_any_changed(state.g_params, new_state.g_params)
+
+    z = jax.random.normal(jax.random.key(2), (64, 8))
+    hit = train_engine.kg_eval_hits(
+        new_state.g_params, new_state.node_emb, new_state.rel_emb, trips, z, 10
+    )
+    assert 0.0 <= float(hit) <= 1.0
+
+
+def test_kg_eval_hits_perfect_generator():
+    """If predictions equal the true tail embeddings exactly, Hit@1 is 1
+    (modulo duplicate embeddings, which random init avoids)."""
+    node = jax.random.normal(jax.random.key(3), (20, 16))
+    rel = jax.random.normal(jax.random.key(4), (3, 16))
+
+    # identity "generator": weights that copy h through? Instead, eval rank
+    # math directly: pred == t_emb -> true tail similarity is maximal.
+    from probgan_tpu.ops import rank as rank_ops
+
+    trips = jnp.asarray([[0, 0, 5], [1, 2, 7], [19, 1, 0]], jnp.int32)
+    pred = node[trips[:, 2]]
+    sims = rank_ops.cosine_scores(
+        rank_ops.l2_normalize(pred), rank_ops.l2_normalize(node)
+    )
+    true_sim = jnp.take_along_axis(sims, trips[:, 2:3], axis=1)
+    rank = 1 + jnp.sum(sims > true_sim, axis=1)
+    assert np.all(np.asarray(rank) == 1)
+
+
+# -- trainer CLI end-to-end ----------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """A learnable synthetic KG: tail = (head + rel) mod N, 40 entities."""
+    root = tmp_path_factory.mktemp("kgdata")
+    rng = np.random.RandomState(0)
+    n, r = 40, 4
+    rows = []
+    for h in range(n):
+        for rel in range(r):
+            rows.append((h, rel, (h + rel + 1) % n))
+    rng.shuffle(rows)
+    split = int(0.9 * len(rows))
+    with open(root / "train.txt", "w") as f:
+        for h, rel, t in rows[:split]:
+            f.write(f"{h}\t{rel}\t{t}\n")
+    with open(root / "valid.txt", "w") as f:
+        for h, rel, t in rows[split:]:
+            f.write(f"{h}\t{rel}\t{t}\n")
+    return str(root)
+
+
+def test_trainer_cli_end_to_end(tiny_dataset, tmp_path, capsys):
+    from probgan_tpu.cli.train import main as train_main
+
+    out_dir = str(tmp_path / "results")
+    rc = train_main([
+        "--data_root", tiny_dataset,
+        "--epochs", "3",
+        "--batch_size", "32",
+        "--embed_dim", "16",
+        "--noise_dim", "8",
+        "--hidden_dim", "32",
+        "--device", "cpu",
+        "--output_dir", out_dir,
+        "--checkpoint_format", "native",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Training complete!" in out
+    assert "Best validation Hit@10:" in out
+
+    ckpt_path = os.path.join(out_dir, "best_checkpoint.msgpack")
+    assert os.path.exists(ckpt_path)
+
+    # The artifact must load in the inference engine (C17 schema contract).
+    from probgan_tpu.engine import InferenceEngine
+
+    engine = InferenceEngine(ckpt_path, device="cpu")
+    assert engine.num_entities == 40
+    assert engine.num_relations == 4
+    res = engine.predict_tails([(0, 1)], top_k=5)
+    assert len(res["predictions"][0]) == 5
+
+
+def test_trainer_string_vocab(tmp_path, capsys):
+    """String entity/relation names get a vocabulary and vocab.json."""
+    from probgan_tpu.cli.train import main as train_main
+
+    root = tmp_path / "strdata"
+    root.mkdir()
+    with open(root / "train.txt", "w") as f:
+        for i in range(30):
+            f.write(f"ent{i % 5}\trel{i % 2}\tent{(i + 1) % 5}\n")
+    out_dir = str(tmp_path / "results")
+    rc = train_main([
+        "--data_root", str(root),
+        "--epochs", "1",
+        "--batch_size", "16",
+        "--embed_dim", "8",
+        "--noise_dim", "4",
+        "--hidden_dim", "16",
+        "--device", "cpu",
+        "--output_dir", out_dir,
+        "--checkpoint_format", "native",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "vocab.json"))
+
+
+def test_trainer_missing_data_errors(tmp_path):
+    from probgan_tpu.cli.train import main as train_main
+
+    with pytest.raises(FileNotFoundError, match="Training data not found"):
+        train_main(["--data_root", str(tmp_path / "nope"), "--device", "cpu"])
