@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Headline benchmark: images/sec/chip at 1024² generator forward.
+
+Measures the BASELINE.json metric — batched latent -> uint8 image through the
+full progressive generator at 1024² on the attached chip — and compares
+against the CPU reference (benchmarks/torch_reference.py, the fp32 torch
+implementation that defines the ≥50x denominator per BASELINE.md, since the
+reference repo publishes no numbers).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The CPU baseline is measured once and cached in benchmarks/cpu_baseline.json
+(keyed by resolution/torch version) because a single 1024² forward takes
+O(10 s) on this host's one core.
+
+Env overrides: PROBGAN_BENCH_BATCH, PROBGAN_BENCH_SECONDS, PROBGAN_BENCH_RES,
+PROBGAN_BENCH_DTYPE (float32|bfloat16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
+BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "4"))
+SECONDS = float(os.environ.get("PROBGAN_BENCH_SECONDS", "10"))
+DTYPE = os.environ.get("PROBGAN_BENCH_DTYPE", "float32")
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_baseline.json")
+SEED = 7
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_cpu_baseline(jax_params, cfg) -> float:
+    """images/sec of the fp32 torch CPU reference at RES (cached)."""
+    import torch
+
+    key = f"res{RES}_torch{torch.__version__.split('+')[0]}"
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            log(f"cpu baseline (cached): {cache[key]:.4f} img/s")
+            return float(cache[key])
+    else:
+        cache = {}
+
+    from benchmarks import torch_reference as tref
+
+    t_params = tref.convert_params(jax_params)
+    stage = cfg.num_stages - 1
+    rng = np.random.RandomState(SEED)
+    z = torch.from_numpy(rng.standard_normal((1, cfg.latent_dim)).astype(np.float32))
+
+    log("measuring cpu baseline (torch fp32, batch 1)...")
+    tref.generator_uint8(t_params, z, cfg.nf(0), stage)  # warmup / allocation
+    iters, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < max(SECONDS, 5.0) and iters < 8:
+        tref.generator_uint8(t_params, z, cfg.nf(0), stage)
+        iters += 1
+    ips = iters / (time.perf_counter() - t0)
+    cache[key] = ips
+    os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=2)
+    log(f"cpu baseline (measured): {ips:.4f} img/s over {iters} iters")
+    return ips
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from probgan_tpu.engine.image import generate_fn
+    from probgan_tpu.models import pro_gan
+
+    cfg = pro_gan.ProGANConfig(resolution=RES)
+    stage = cfg.num_stages - 1
+    dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
+
+    log(f"backend={jax.default_backend()} res={RES} batch={BATCH} dtype={DTYPE}")
+    # Init on the CPU backend: eager per-weight init on the accelerator would
+    # trigger one small compile per distinct weight shape (minutes through a
+    # remote-compile service); one device_put of the finished pytree is cheap.
+    with jax.default_device(jax.devices("cpu")[0]):
+        g_params = pro_gan.init_generator(jax.random.key(SEED), cfg)
+
+    cpu_ips = measure_cpu_baseline(g_params, cfg)
+
+    g_params = jax.device_put(g_params, jax.devices()[0])
+    use_pallas = jax.default_backend() == "tpu"
+    z = jax.random.normal(jax.random.key(SEED + 1), (BATCH, cfg.latent_dim), jnp.float32)
+    alpha = jnp.float32(1.0)
+
+    # Timing sync: block_until_ready can return early through relayed/remote
+    # device transports, so each timed call fetches a device-computed int
+    # checksum scalar — a hard synchronization with negligible transfer.
+    @jax.jit
+    def gen_checksum(params, latents):
+        img = generate_fn(params, latents, alpha, cfg, stage, dtype, use_pallas)
+        return jnp.sum(img.astype(jnp.int32))
+
+    log("compiling device graph...")
+    t0 = time.perf_counter()
+    float(gen_checksum(g_params, z))
+    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    float(gen_checksum(g_params, z))  # warmup
+
+    latencies = []
+    images = 0
+    t_start = time.perf_counter()
+    while time.perf_counter() - t_start < SECONDS:
+        t1 = time.perf_counter()
+        float(gen_checksum(g_params, z))
+        latencies.append(time.perf_counter() - t1)
+        images += BATCH
+    elapsed = time.perf_counter() - t_start
+    ips = images / elapsed
+    p50_ms = 1000.0 * float(np.percentile(latencies, 50)) / BATCH
+
+    log(f"device: {ips:.2f} img/s, p50 {p50_ms:.2f} ms/img over {len(latencies)} batches")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"images_per_sec_chip_{RES}x{RES}_generator_forward",
+                "value": round(ips, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,27 +34,42 @@ def load_triplets(data_root: str, debug: bool = False):
         raise FileNotFoundError(f"Training data not found: {train_path}")
     valid_path = os.path.join(data_root, "valid.txt")
 
-    def read(path):
-        rows = []
-        with open(path) as f:
-            for line in f:
-                parts = line.split()
-                if len(parts) >= 3:
-                    rows.append(parts[:3])
-        return rows
+    def _is_pure_int_file(path) -> bool:
+        """Sniff: only digits/whitespace/'-' means the native int parser is
+        safe (it would silently strip letters from string ids otherwise)."""
+        with open(path, "rb") as f:
+            chunk = f.read(65536)
+        return bool(chunk) and all(
+            c in b"0123456789-\t\n\r " for c in chunk
+        )
 
-    raw_train = read(train_path)
-    raw_valid = read(valid_path) if os.path.exists(valid_path) else None
+    pure_int = _is_pure_int_file(train_path) and (
+        not os.path.exists(valid_path) or _is_pure_int_file(valid_path)
+    )
 
-    def all_int(rows):
-        return all(tok.lstrip("-").isdigit() for row in rows for tok in row)
+    if pure_int:
+        # Native C fast path (probgan_tpu/native): one-pass tokenizer.
+        from probgan_tpu import native
 
-    every = raw_train + (raw_valid or [])
-    vocab = None
-    if all_int(every):
-        train = np.asarray(raw_train, dtype=np.int32)
-        valid = np.asarray(raw_valid, dtype=np.int32) if raw_valid else None
+        train = native.parse_triplets(train_path)
+        valid = (
+            native.parse_triplets(valid_path) if os.path.exists(valid_path) else None
+        )
+        vocab = None
     else:
+
+        def read(path):
+            rows = []
+            with open(path) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 3:
+                        rows.append(parts[:3])
+            return rows
+
+        raw_train = read(train_path)
+        raw_valid = read(valid_path) if os.path.exists(valid_path) else None
+        every = raw_train + (raw_valid or [])
         ents: dict[str, int] = {}
         rels: dict[str, int] = {}
         for h, r, t in every:
@@ -143,15 +158,19 @@ def main(argv: list[str] | None = None) -> int:
     print(f"  - Valid triplets: {len(valid):,}")
 
     with jax.default_device(device):
-        state = train_engine.kg_init_state(
-            jax.random.key(args.seed),
-            num_entities,
-            num_relations,
-            args.embed_dim,
-            args.noise_dim,
-            args.hidden_dim,
-            args.lr,
-        )
+        # Init on CPU (eager init on an accelerator costs one small remote
+        # compile per weight shape), then place the state on the device.
+        with jax.default_device(jax.devices("cpu")[0]):
+            state = train_engine.kg_init_state(
+                jax.random.key(args.seed),
+                num_entities,
+                num_relations,
+                args.embed_dim,
+                args.noise_dim,
+                args.hidden_dim,
+                args.lr,
+            )
+        state = jax.device_put(state, device)
 
         rng = np.random.RandomState(args.seed)
         history: dict[str, list] = {"val_hit10": [], "d_loss": [], "g_loss": []}

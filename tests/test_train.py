@@ -182,3 +182,17 @@ def test_trainer_missing_data_errors(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="Training data not found"):
         train_main(["--data_root", str(tmp_path / "nope"), "--device", "cpu"])
+
+
+def test_native_loader_used_for_int_files(tiny_dataset):
+    """Integer triplet files take the native C parser path (with numpy
+    fallback) and match a Python parse."""
+    import numpy as np
+
+    from probgan_tpu.cli.train import load_triplets
+
+    train, valid, n_ent, n_rel, vocab = load_triplets(tiny_dataset)
+    assert vocab is None
+    ref = np.loadtxt(f"{tiny_dataset}/train.txt", dtype=np.int32)
+    np.testing.assert_array_equal(train, ref)
+    assert n_ent == 40 and n_rel == 4
