@@ -15,7 +15,8 @@ The CPU baseline is measured once and cached in benchmarks/cpu_baseline.json
 O(10 s) on this host's one core.
 
 Env overrides: PROBGAN_BENCH_BATCH, PROBGAN_BENCH_SECONDS, PROBGAN_BENCH_RES,
-PROBGAN_BENCH_DTYPE (float32|bfloat16).
+PROBGAN_BENCH_DTYPE (float32|bfloat16),
+PROBGAN_BENCH_PRECISION (default|high|highest — MXU pass count; see below).
 """
 
 from __future__ import annotations
@@ -31,6 +32,10 @@ RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
 BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "4"))
 SECONDS = float(os.environ.get("PROBGAN_BENCH_SECONDS", "10"))
 DTYPE = os.environ.get("PROBGAN_BENCH_DTYPE", "float32")
+# Parity-grade MXU precision (3-pass fp32 emulation, ~73 dB vs the CPU
+# reference — the >50 dB north-star bar; "default" is ~2.4x faster but lands
+# at ~48 dB, below the bar).
+PRECISION = os.environ.get("PROBGAN_BENCH_PRECISION", "high")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_baseline.json")
 SEED = 7
 
@@ -86,7 +91,8 @@ def main() -> None:
     stage = cfg.num_stages - 1
     dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
 
-    log(f"backend={jax.default_backend()} res={RES} batch={BATCH} dtype={DTYPE}")
+    log(f"backend={jax.default_backend()} res={RES} batch={BATCH} dtype={DTYPE} "
+        f"precision={PRECISION}")
     # Init on the CPU backend: eager per-weight init on the accelerator would
     # trigger one small compile per distinct weight shape (minutes through a
     # remote-compile service); one device_put of the finished pytree is cheap.
@@ -105,7 +111,9 @@ def main() -> None:
     # checksum scalar — a hard synchronization with negligible transfer.
     @jax.jit
     def gen_checksum(params, latents):
-        img = generate_fn(params, latents, alpha, cfg, stage, dtype, use_pallas)
+        img = generate_fn(
+            params, latents, alpha, cfg, stage, dtype, use_pallas, PRECISION
+        )
         return jnp.sum(img.astype(jnp.int32))
 
     log("compiling device graph...")

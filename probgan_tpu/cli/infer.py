@@ -29,6 +29,7 @@ TASKS = (
     "analyze_relations",
     "interactive",
     "model_info",
+    "generate_images",
 )
 
 
@@ -98,12 +99,67 @@ def build_parser() -> argparse.ArgumentParser:
         "--seed", type=int, default=0, help="Seed for generator noise"
     )
     parser.add_argument(
+        "--num_images", type=int, default=1,
+        help="Number of images for the generate_images task",
+    )
+    parser.add_argument(
+        "--stage", type=int, default=-1,
+        help="Progressive stage for generate_images (-1 = final resolution)",
+    )
+    parser.add_argument(
+        "--alpha", type=float, default=1.0,
+        help="Progressive fade-in alpha for generate_images",
+    )
+    parser.add_argument(
         "--profile_dir",
         type=str,
         default="",
         help="If set, capture a jax.profiler trace of the task into this dir",
     )
     return parser
+
+
+def run_generate_images(args: argparse.Namespace):
+    """Image-synthesis task on an image-GAN checkpoint (the north-star model
+    family; no reference file:line — the reference ships no image ops). The
+    JSON result carries shape/checksum metadata; pass an ``--output_file``
+    ending in .npz to also save the raw uint8 images."""
+    import numpy as np
+
+    from probgan_tpu.core.image_checkpoint import load_image_checkpoint
+    from probgan_tpu.engine.image import ImageGANEngine
+
+    config, g_params, d_params = load_image_checkpoint(args.checkpoint_path)
+    engine = ImageGANEngine(
+        config, g_params=g_params, d_params=d_params or None,
+        device=args.device, seed=args.seed,
+    )
+    stage = engine.final_stage if args.stage < 0 else args.stage
+    print(
+        f"Generating {args.num_images} images at "
+        f"{4 * 2 ** stage}x{4 * 2 ** stage} (alpha={args.alpha})..."
+    )
+    z = engine.sample_latents(args.num_images)
+    images = engine.generate(z, stage=stage, alpha=args.alpha)
+
+    npz_path = ""
+    if args.output_file.endswith(".npz"):
+        np.savez_compressed(args.output_file, images=images)
+        npz_path = args.output_file
+
+    return {
+        "images_shape": list(images.shape),
+        "dtype": "uint8",
+        "checksum": int(images.astype(np.int64).sum()),
+        "images_file": npz_path,
+        "metadata": {
+            "num_images": args.num_images,
+            "stage": stage,
+            "alpha": args.alpha,
+            "resolution": int(4 * 2 ** stage),
+            "seed": args.seed,
+        },
+    }
 
 
 def run_task(engine: InferenceEngine, args: argparse.Namespace):
@@ -149,6 +205,21 @@ def run_task(engine: InferenceEngine, args: argparse.Namespace):
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+
+    if args.task == "generate_images":
+        with maybe_profile(args.profile_dir):
+            results = run_generate_images(args)
+        if results:
+            if results.get("images_file"):
+                print(f"Images saved to: {results['images_file']}")
+                print(json.dumps(results, indent=2))
+            elif args.output_file:
+                with open(args.output_file, "w") as f:
+                    json.dump(results, f, indent=2)
+                print(f"Results saved to: {args.output_file}")
+            else:
+                print(json.dumps(results, indent=2))
+        return
 
     engine = InferenceEngine(args.checkpoint_path, args.device, seed=args.seed)
 

@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
         history: dict[str, list] = {"val_hit10": [], "d_loss": [], "g_loss": []}
         best_hit10, best_epoch = 0.0, 0
         os.makedirs(args.output_dir, exist_ok=True)
+        # Structured metrics log (SURVEY.md §5.5): one JSON line per epoch
+        # behind the same stdout text the reference-style prints provide.
+        metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+        metrics_log = open(metrics_path, "w")
         ckpt_ext = ".pt" if args.checkpoint_format == "torch" else ".msgpack"
         ckpt_path = os.path.join(args.output_dir, f"best_checkpoint{ckpt_ext}")
 
@@ -238,6 +242,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"g_loss={epoch_g / steps_per_epoch:.4f} "
                 f"({time.time() - t0:.1f}s)"
             )
+            metrics_log.write(json.dumps({
+                "epoch": epoch,
+                "val_hit10": hit10,
+                "d_loss": epoch_d / steps_per_epoch,
+                "g_loss": epoch_g / steps_per_epoch,
+                "seconds": round(time.time() - t0, 2),
+            }) + "\n")
+            metrics_log.flush()
 
             if hit10 >= best_hit10:
                 best_hit10, best_epoch = hit10, epoch
@@ -245,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.verbose:
                     print(f"  new best; checkpoint saved to {ckpt_path}")
 
+        metrics_log.close()
         if vocab is not None:
             with open(os.path.join(args.output_dir, "vocab.json"), "w") as f:
                 json.dump(vocab, f)

@@ -1,0 +1,64 @@
+"""Checkpoint schema for the image-GAN model family.
+
+The image family has no reference artifact (the image pipeline exists only in
+BASELINE.json's north star), so this schema is native-defined, in the same
+spirit as the KG schema (core/checkpoint.py): a flat dict, msgpack on disk.
+
+    {
+      'image_config': {'resolution', 'latent_dim', 'fmap_base', 'fmap_max',
+                       'num_channels'},
+      'image_generator': <generator params pytree>,
+      'image_discriminator': <discriminator params pytree>,
+      'training_history': dict (optional),
+    }
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from probgan_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+from probgan_tpu.models.pro_gan import ProGANConfig
+
+IMAGE_KEYS = ("image_config", "image_generator", "image_discriminator")
+
+
+def is_image_checkpoint(ckpt: dict) -> bool:
+    return "image_generator" in ckpt
+
+
+def save_image_checkpoint(
+    path: str,
+    config: ProGANConfig,
+    g_params,
+    d_params=None,
+    training_history: dict | None = None,
+) -> None:
+    ckpt = {
+        "image_config": dataclasses.asdict(config),
+        "image_generator": g_params,
+        "image_discriminator": d_params if d_params is not None else {},
+        "training_history": training_history or {},
+    }
+    save_checkpoint(path, ckpt, format="native")
+
+
+def load_image_checkpoint(path: str) -> tuple[ProGANConfig, dict, dict]:
+    """Returns (config, g_params, d_params)."""
+    ckpt = load_checkpoint(path)
+    if not is_image_checkpoint(ckpt):
+        raise ValueError(
+            f"Not an image-GAN checkpoint (missing 'image_generator'): {path}"
+        )
+    cfg = ProGANConfig(**{k: int(v) for k, v in ckpt["image_config"].items()})
+
+    def to_np(tree):
+        if isinstance(tree, dict):
+            return {k: to_np(v) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [to_np(v) for v in tree]
+        return np.asarray(tree)
+
+    return cfg, to_np(ckpt["image_generator"]), to_np(ckpt["image_discriminator"])

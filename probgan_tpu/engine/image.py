@@ -24,7 +24,7 @@ from probgan_tpu.ops import pallas_image
 from probgan_tpu.utils.profiling import task_trace
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "dtype", "use_pallas"))
+@partial(jax.jit, static_argnames=("config", "stage", "dtype", "use_pallas", "precision"))
 def generate_fn(
     g_params,
     z,
@@ -33,22 +33,30 @@ def generate_fn(
     stage: int,
     dtype=jnp.float32,
     use_pallas: bool = False,
+    precision=None,
 ):
-    """Latent [B, L] -> uint8 images [B, R, R, 3]."""
-    rgb = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype)
+    """Latent [B, L] -> uint8 images [B, R, R, 3].
+
+    ``precision``: None/"default" (1-pass bf16 MXU, ~48 dB vs the fp32 CPU
+    reference at 1024²), "high" (3-pass, ~73 dB — the parity-grade setting),
+    "highest" (6-pass, ~80 dB; nearly the same speed as "high" because the
+    late stages are HBM-bandwidth-bound)."""
+    rgb = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype, precision)
     if use_pallas:
         return pallas_image.to_uint8_fused(rgb)
     return pro_gan.to_uint8(rgb)
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "dtype"))
+@partial(jax.jit, static_argnames=("config", "stage", "dtype", "precision"))
 def score_fn(d_params, images, alpha, config: pro_gan.ProGANConfig, stage: int,
-             dtype=jnp.float32):
+             dtype=jnp.float32, precision=None):
     """Float images (~[-1, 1]) -> realness logits [B]."""
-    return pro_gan.discriminator_apply(d_params, images, config, stage, alpha, dtype)
+    return pro_gan.discriminator_apply(
+        d_params, images, config, stage, alpha, dtype, precision
+    )
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "frames", "dtype", "use_pallas"))
+@partial(jax.jit, static_argnames=("config", "stage", "frames", "dtype", "use_pallas", "precision"))
 def latent_walk_fn(
     g_params,
     z0,
@@ -59,13 +67,14 @@ def latent_walk_fn(
     frames: int,
     dtype=jnp.float32,
     use_pallas: bool = False,
+    precision=None,
 ):
     """Interpolate z0 -> z1 in ``frames`` steps and render each
     (BASELINE config 4: 512² 64-frame z-walk). Linear interpolation in
     z-space; frames are the batch dimension of one generator call."""
     t = jnp.linspace(0.0, 1.0, frames, dtype=z0.dtype)[:, None]
     z = z0[None, :] * (1.0 - t) + z1[None, :] * t
-    return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas)
+    return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas, precision)
 
 
 class ImageGANEngine:

@@ -27,14 +27,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from probgan_tpu.core.checkpoint import load_checkpoint
 from probgan_tpu.core.device import device_str, resolve_device
 from probgan_tpu.core.rng import RngStream
 from probgan_tpu.models import kg_gan
+from probgan_tpu.ops import pallas_rank
 from probgan_tpu.ops import rank as rank_ops
 from probgan_tpu.utils.profiling import task_trace
 
-_REL_CHUNK = 256  # relations scored per scan step in analyze_relations
+_REL_CHUNK = 256   # relations scored per scan step in analyze_relations
+_N_TILE = 512      # entity-table row padding so the Pallas rank kernel tiles
+
+
+def _rank_scores(pred: jax.Array, entity_norm_padded: jax.Array, num_entities: int,
+                 use_pallas: bool) -> jax.Array:
+    """[B, D] raw predictions -> [B, N] cosine scores against the cached
+    normalized (row-padded) table. Pallas-fused on TPU when shapes tile
+    (ops/pallas_rank.py); zero padding rows are sliced off before ranking
+    (their score is exactly 0, but slicing keeps top-k semantics independent
+    of padding)."""
+    if use_pallas and pallas_rank.supports(pred.shape, entity_norm_padded.shape[0]):
+        scores = pallas_rank.rank_scores_fused(pred, entity_norm_padded)
+    else:
+        scores = rank_ops.cosine_scores(
+            rank_ops.l2_normalize(pred), entity_norm_padded
+        )
+    return scores[:, :num_entities]
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -55,14 +75,17 @@ def _pad_ids(ids: Sequence[int], bucket: int) -> np.ndarray:
 # jitted kernels (module-level so compilation caches are shared)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("top_k",))
-def _predict_tails_fn(g_params, node_emb, entity_norm, rel_table, heads, rels, z, top_k):
-    """gather -> G fwd -> normalize -> rank matmul -> top-k (SURVEY.md §3.2)."""
+@partial(jax.jit, static_argnames=("top_k", "num_entities", "use_pallas"))
+def _predict_tails_fn(
+    g_params, node_emb, entity_norm, rel_table, heads, rels, z, top_k,
+    num_entities, use_pallas,
+):
+    """gather -> G fwd -> fused rank -> top-k (SURVEY.md §3.2)."""
     h = node_emb[heads]
     r = rel_table[rels]
     pred = kg_gan.generator_apply(g_params, h, r, z)
-    pred_norm = rank_ops.l2_normalize(pred)
-    return rank_ops.rank_topk(pred_norm, entity_norm, top_k)
+    scores = _rank_scores(pred, entity_norm, num_entities, use_pallas)
+    return jax.lax.top_k(scores, top_k)
 
 
 @jax.jit
@@ -81,12 +104,13 @@ def _discriminator_scores_fn(d_params, node_emb, rel_table, triplets):
     return kg_gan.discriminator_score_triplets(d_params, node_emb, rel_table, triplets)
 
 
-@partial(jax.jit, static_argnames=("top_k",))
-def _similar_entities_fn(entity_norm, queries, top_k):
+@partial(jax.jit, static_argnames=("top_k", "num_entities", "use_pallas"))
+def _similar_entities_fn(entity_norm, queries, top_k, num_entities, use_pallas):
     """Rows of the cached normalized table vs the whole table; top-(k+1) to
     allow host-side self-exclusion, matching pro_b_gan_infer.py:231-236."""
     q = entity_norm[queries]
-    return rank_ops.rank_topk(q, entity_norm, top_k + 1)
+    scores = _rank_scores(q, entity_norm, num_entities, use_pallas)
+    return jax.lax.top_k(scores, top_k + 1)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_relations"))
@@ -139,10 +163,22 @@ def _analyze_relations_fn(d_params, node_emb, rel_table_padded, pairs, top_k, nu
 class InferenceEngine:
     """Loads a checkpoint and serves the five reference inference tasks."""
 
-    def __init__(self, checkpoint_path: str, device: str = "auto", seed: int = 0):
+    def __init__(
+        self,
+        checkpoint_path: str,
+        device: str = "auto",
+        seed: int = 0,
+        use_pallas: bool | None = None,
+    ):
         self.device = resolve_device(device)
         self.checkpoint_path = checkpoint_path
         self._rng = RngStream(seed)
+        if use_pallas is None:
+            use_pallas = (
+                self.device.platform == "tpu"
+                and os.environ.get("PROBGAN_PALLAS_RANK", "1") != "0"
+            )
+        self._use_pallas = use_pallas
 
         print("Loading Prot-B-GAN inference system...")
         print(f"Checkpoint: {checkpoint_path}")
@@ -185,8 +221,15 @@ class InferenceEngine:
         )
 
         # Cache the normalized entity table once (vs per-call at
-        # pro_b_gan_infer.py:147).
-        self.entity_norm = jax.jit(rank_ops.l2_normalize)(self.node_emb)
+        # pro_b_gan_infer.py:147), row-padded with zeros so the Pallas rank
+        # kernel's N tiling is satisfied for any entity count (padded rows
+        # score exactly 0 and are sliced off before top-k in _rank_scores).
+        n_pad = -(-self.num_entities // _N_TILE) * _N_TILE
+        self.entity_norm = jax.jit(
+            lambda t: jnp.pad(
+                rank_ops.l2_normalize(t), ((0, n_pad - t.shape[0]), (0, 0))
+            )
+        )(self.node_emb)
 
         # Pre-pad the relation table for the scanned analyze kernel.
         r_pad = -(-self.num_relations // _REL_CHUNK) * _REL_CHUNK
@@ -234,6 +277,8 @@ class InferenceEngine:
                 jax.device_put(rels, self.device),
                 self._noise(bucket),
                 top_k,
+                self.num_entities,
+                self._use_pallas,
             )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 
@@ -308,7 +353,11 @@ class InferenceEngine:
         queries = _pad_ids(entity_ids, bucket)
         with task_trace("similar_entities"):
             top_scores, top_indices = _similar_entities_fn(
-                self.entity_norm, jax.device_put(queries, self.device), top_k
+                self.entity_norm,
+                jax.device_put(queries, self.device),
+                top_k,
+                self.num_entities,
+                self._use_pallas,
             )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 

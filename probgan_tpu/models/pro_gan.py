@@ -74,7 +74,24 @@ def _he_scale(fan_in: int, gain: float = math.sqrt(2.0)) -> float:
     return gain / math.sqrt(fan_in)
 
 
-def eq_conv(params: dict, x: jax.Array, gain: float = math.sqrt(2.0)) -> jax.Array:
+# MXU precision for convs/matmuls: None -> the jax default (single-pass
+# bf16 on TPU, ~48 dB vs the fp32 CPU reference at 1024²); "high" -> 3-pass
+# fp32 emulation (~73 dB, the parity-grade setting); "highest" -> 6-pass.
+_PRECISIONS = {
+    None: None,
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def resolve_precision(precision):
+    return _PRECISIONS[precision] if isinstance(precision, (str, type(None))) else precision
+
+
+def eq_conv(
+    params: dict, x: jax.Array, gain: float = math.sqrt(2.0), precision=None
+) -> jax.Array:
     """3x3/1x1 SAME conv with runtime He scaling (equalized LR)."""
     w = params["w"]
     kh, kw, cin, _ = w.shape
@@ -86,14 +103,20 @@ def eq_conv(params: dict, x: jax.Array, gain: float = math.sqrt(2.0)) -> jax.Arr
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=resolve_precision(precision),
     )
     return out + params["b"].astype(x.dtype)
 
 
-def eq_dense(params: dict, x: jax.Array, gain: float = math.sqrt(2.0)) -> jax.Array:
+def eq_dense(
+    params: dict, x: jax.Array, gain: float = math.sqrt(2.0), precision=None
+) -> jax.Array:
     w = params["w"]
     scale = _he_scale(w.shape[0], gain)
-    return x @ (w * scale).astype(x.dtype) + params["b"].astype(x.dtype)
+    return (
+        jnp.matmul(x, (w * scale).astype(x.dtype), precision=resolve_precision(precision))
+        + params["b"].astype(x.dtype)
+    )
 
 
 def lrelu(x: jax.Array) -> jax.Array:
@@ -156,32 +179,33 @@ def init_generator(key: jax.Array, config: ProGANConfig) -> dict:
     return params
 
 
-def _g_base(params: dict, z: jax.Array, config: ProGANConfig, dtype) -> jax.Array:
+def _g_base(params: dict, z: jax.Array, config: ProGANConfig, dtype,
+            precision=None) -> jax.Array:
     z = pixel_norm(z.astype(dtype))
-    x = eq_dense(params["base_dense"], z)
+    x = eq_dense(params["base_dense"], z, precision=precision)
     x = x.reshape(z.shape[0], 4, 4, config.nf(0))
     x = pixel_norm(lrelu(x))
-    x = pixel_norm(lrelu(eq_conv(params["base_conv"], x)))
+    x = pixel_norm(lrelu(eq_conv(params["base_conv"], x, precision=precision)))
     return x
 
 
-def _g_block(block: dict, x: jax.Array) -> jax.Array:
+def _g_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
     x = upsample_nearest_2x(x)
-    x = pixel_norm(lrelu(eq_conv(block["conv1"], x)))
-    x = pixel_norm(lrelu(eq_conv(block["conv2"], x)))
+    x = pixel_norm(lrelu(eq_conv(block["conv1"], x, precision=precision)))
+    x = pixel_norm(lrelu(eq_conv(block["conv2"], x, precision=precision)))
     return x
 
 
 def generator_features(
     params: dict, z: jax.Array, config: ProGANConfig, stage: int,
-    dtype=jnp.float32,
+    dtype=jnp.float32, precision=None,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Run the trunk to ``stage``; returns (x_stage, x_prev_or_None)."""
-    x = _g_base(params, z, config, dtype)
+    x = _g_base(params, z, config, dtype, precision)
     prev = None
     for s in range(1, stage + 1):
         prev = x
-        x = _g_block(params["blocks"][s - 1], x)
+        x = _g_block(params["blocks"][s - 1], x, precision)
     return x, prev
 
 
@@ -192,13 +216,16 @@ def generator_rgb(
     stage: int,
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Latent -> pre-tanh RGB at resolution ``4 * 2**stage`` with progressive
     alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha)."""
-    x, prev = generator_features(params, z, config, stage, dtype)
-    rgb = eq_conv(params["to_rgb"][stage], x, gain=1.0)
+    x, prev = generator_features(params, z, config, stage, dtype, precision)
+    rgb = eq_conv(params["to_rgb"][stage], x, gain=1.0, precision=precision)
     if stage > 0:
-        rgb_prev = upsample_nearest_2x(eq_conv(params["to_rgb"][stage - 1], prev, gain=1.0))
+        rgb_prev = upsample_nearest_2x(
+            eq_conv(params["to_rgb"][stage - 1], prev, gain=1.0, precision=precision)
+        )
         alpha = jnp.asarray(alpha, dtype=rgb.dtype)
         rgb = rgb_prev + alpha * (rgb - rgb_prev)
     return rgb
@@ -211,9 +238,10 @@ def generator_apply(
     stage: int,
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Full image path: latent -> uint8 image [B, R, R, 3]."""
-    return to_uint8(generator_rgb(params, z, config, stage, alpha, dtype))
+    return to_uint8(generator_rgb(params, z, config, stage, alpha, dtype, precision))
 
 
 # ---------------------------------------------------------------------------
@@ -253,9 +281,9 @@ def minibatch_stddev(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, feat], axis=-1)
 
 
-def _d_block(block: dict, x: jax.Array) -> jax.Array:
-    x = lrelu(eq_conv(block["conv1"], x))
-    x = lrelu(eq_conv(block["conv2"], x))
+def _d_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
+    x = lrelu(eq_conv(block["conv1"], x, precision=precision))
+    x = lrelu(eq_conv(block["conv2"], x, precision=precision))
     return downsample_avg_2x(x)
 
 
@@ -266,22 +294,27 @@ def discriminator_apply(
     stage: int,
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
+    precision=None,
 ) -> jax.Array:
     """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
     realness logit [B]. Mirrors the generator's progressive blend: after the
     first down block, lerp with fromRGB of the downsampled image."""
     image = image.astype(dtype)
-    x = lrelu(eq_conv(params["from_rgb"][stage], image))
+    x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
     for s in range(stage, 0, -1):
-        x = _d_block(params["blocks"][s - 1], x)
+        x = _d_block(params["blocks"][s - 1], x, precision)
         if s == stage and stage > 0:
             skip = lrelu(
-                eq_conv(params["from_rgb"][stage - 1], downsample_avg_2x(image))
+                eq_conv(
+                    params["from_rgb"][stage - 1],
+                    downsample_avg_2x(image),
+                    precision=precision,
+                )
             )
             a = jnp.asarray(alpha, dtype=x.dtype)
             x = skip + a * (x - skip)
     x = minibatch_stddev(x)
-    x = lrelu(eq_conv(params["final_conv"], x))
+    x = lrelu(eq_conv(params["final_conv"], x, precision=precision))
     x = x.reshape(x.shape[0], -1)
-    x = lrelu(eq_dense(params["final_dense"], x))
-    return eq_dense(params["out_dense"], x, gain=1.0)[..., 0]
+    x = lrelu(eq_dense(params["final_dense"], x, precision=precision))
+    return eq_dense(params["out_dense"], x, gain=1.0, precision=precision)[..., 0]

@@ -39,14 +39,17 @@ def test_parser_flags_match_reference_surface():
 def test_task_choices_include_all_reference_tasks():
     parser = build_parser()
     task_action = next(a for a in parser._actions if a.dest == "task")
-    assert set(task_action.choices) == {
+    # All six reference tasks (pro_b_gan_infer.py:441) plus the image-family
+    # addition.
+    assert {
         "predict_tails",
         "score_triplets",
         "similar_entities",
         "analyze_relations",
         "interactive",
         "model_info",
-    }
+    } <= set(task_action.choices)
+    assert "generate_images" in task_action.choices
     assert task_action.default == "interactive"
 
 

@@ -255,3 +255,21 @@ def test_engine_loads_torch_checkpoint(torch_ckpt_path, native_ckpt_path):
     np.testing.assert_allclose(
         r1["discriminator_logits"], r2["discriminator_logits"], rtol=1e-6
     )
+
+
+def test_pallas_rank_path_matches_jnp_path(native_ckpt_path):
+    """Engine with the Pallas fused-rank path (interpret mode on CPU) must
+    produce identical rankings to the jnp path, including with an entity
+    count that needs table padding (N=50 pads to 512)."""
+    e_jnp = InferenceEngine(native_ckpt_path, "cpu", seed=3, use_pallas=False)
+    e_pal = InferenceEngine(native_ckpt_path, "cpu", seed=3, use_pallas=True)
+    pairs = [(0, 1), (2, 3), (5, 6)]
+    r1 = e_jnp.predict_tails(pairs, top_k=7, return_scores=True)
+    r2 = e_pal.predict_tails(pairs, top_k=7, return_scores=True)
+    assert r1["predictions"] == r2["predictions"]
+    np.testing.assert_allclose(r1["scores"], r2["scores"], atol=1e-6)
+
+    s1 = e_jnp.find_similar_entities([4, 9], top_k=5)
+    s2 = e_pal.find_similar_entities([4, 9], top_k=5)
+    assert s1["similar_entities"][0]["similar_entities"] == \
+        s2["similar_entities"][0]["similar_entities"]
