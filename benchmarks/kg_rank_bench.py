@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""KG ranking throughput: the reference's flagship hot loop at scale.
+
+Measures predict_tails' core — generator forward + fused normalize/rank
+matmul + top-k (SURVEY.md §3.2, pro_b_gan_infer.py:143-151) — against a
+production-sized entity table (default N=1M, D=128), reporting queries/sec
+and the effective HBM bandwidth of the [B, D] x [D, N] scan (the op is
+bandwidth-bound: it reads the whole N x D table per batch).
+
+Usage: python benchmarks/kg_rank_bench.py [--entities 1000000] [--batch 64]
+       [--top_k 10] [--seconds 5] [--no-pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+SEED = 11
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--entities", type=int, default=1_000_000)
+    parser.add_argument("--embed_dim", type=int, default=128)
+    parser.add_argument("--noise_dim", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--top_k", type=int, default=10)
+    parser.add_argument("--seconds", type=float, default=5.0)
+    parser.add_argument("--no-pallas", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from probgan_tpu.engine.inference import _rank_scores
+    from probgan_tpu.models import kg_gan
+    from probgan_tpu.ops import rank as rank_ops
+
+    n, d, z_dim, b = args.entities, args.embed_dim, args.noise_dim, args.batch
+    n_pad = -(-n // 512) * 512
+    log(f"backend={jax.default_backend()} N={n} D={d} B={b} k={args.top_k} "
+        f"pallas={not args.no_pallas}")
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        g_params = kg_gan.init_generator(jax.random.key(SEED), d, z_dim)
+        table = np.random.RandomState(SEED).standard_normal((n_pad, d)).astype(np.float32)
+        table[n:] = 0.0
+    dev = jax.devices()[0]
+    g_params = jax.device_put(g_params, dev)
+    table_norm = jax.device_put(
+        np.ascontiguousarray(
+            table / np.maximum(np.linalg.norm(table, axis=1, keepdims=True), 1e-12)
+        ),
+        dev,
+    )
+    h = jax.device_put(
+        jax.random.normal(jax.random.key(1), (b, d), jnp.float32), dev
+    )
+    r = jax.device_put(
+        jax.random.normal(jax.random.key(2), (b, d), jnp.float32), dev
+    )
+    z = jax.device_put(
+        jax.random.normal(jax.random.key(3), (b, z_dim), jnp.float32), dev
+    )
+    use_pallas = (not args.no_pallas) and jax.default_backend() == "tpu"
+
+    @jax.jit
+    def rank_checksum(g_params, h, r, z, table_norm):
+        pred = kg_gan.generator_apply(g_params, h, r, z)
+        scores = _rank_scores(pred, table_norm, n, use_pallas)
+        v, i = jax.lax.top_k(scores, args.top_k)
+        return jnp.sum(i) + jnp.sum(v).astype(jnp.int32)
+
+    log("compiling...")
+    t0 = time.perf_counter()
+    float(rank_checksum(g_params, h, r, z, table_norm))
+    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+    float(rank_checksum(g_params, h, r, z, table_norm))
+
+    iters, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < args.seconds:
+        float(rank_checksum(g_params, h, r, z, table_norm))
+        iters += 1
+    elapsed = time.perf_counter() - t0
+    qps = iters * b / elapsed
+    # Table bytes read per batch (the dominant traffic).
+    gbps = iters * n_pad * d * 4 / elapsed / 1e9
+
+    print(json.dumps({
+        "metric": f"predict_tails_queries_per_sec_N{n}",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "batch": b,
+        "top_k": args.top_k,
+        "effective_table_read_GBps": round(gbps, 1),
+        "pallas": use_pallas,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,10 +20,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Allow `python benchmarks/run_configs.py` from the repo root (the script's
+# own dir shadows the cwd on sys.path).
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 SEED = 7
 

@@ -96,6 +96,10 @@ def load_triplets(data_root: str, debug: bool = False):
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Prot-B-GAN Training System")
+    parser.add_argument("--model", type=str, default="kg", choices=["kg", "image"],
+                        help="Model family: 'kg' (link-prediction GAN, the "
+                             "reference's domain) or 'image' (progressive "
+                             "image GAN; see cli/train_image.py for its flags)")
     parser.add_argument("--data_root", type=str, required=True,
                         help="Directory containing train.txt (and optional valid.txt)")
     parser.add_argument("--debug", action="store_true",
@@ -125,7 +129,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    import sys
+
+    raw_argv = sys.argv[1:] if argv is None else list(argv)
+    if "--model" in raw_argv:
+        model = raw_argv[raw_argv.index("--model") + 1]
+        if model == "image":
+            from probgan_tpu.cli.train_image import main as image_main
+
+            filtered = [a for i, a in enumerate(raw_argv)
+                        if a != "--model" and raw_argv[i - 1] != "--model"]
+            return image_main(filtered)
+
+    args = build_parser().parse_args(raw_argv)
 
     import jax
     import jax.numpy as jnp

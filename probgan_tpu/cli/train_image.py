@@ -1,0 +1,205 @@
+"""Progressive image-GAN trainer.
+
+Trains the north-star image family (models/pro_gan.py) with the classic
+progressive schedule: stages grow 4² -> target resolution; within each stage
+the blend alpha ramps 0 -> 1 over the first half of the stage's epochs
+(fade-in), then trains at alpha=1. One jitted train step per stage
+(engine/train.py:progan_train_step); real images are average-pooled down to
+the active stage's resolution.
+
+Data: ``--data_root`` with ``images.npy``/``images.npz`` holding uint8
+[N, H, W, 3] (H = W = target resolution), or ``--synthetic N`` to train
+against a procedural dataset (random gaussian blobs) for smoke runs and
+benchmarks. Writes the image checkpoint schema
+(core/image_checkpoint.py) to ``<output_dir>/image_checkpoint.msgpack`` after
+every stage, plus per-epoch metrics JSONL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synthetic_images(n: int, resolution: int, seed: int = 0) -> np.ndarray:
+    """Procedural uint8 dataset: soft gaussian blobs on gradients — enough
+    structure for losses to move without shipping a dataset."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:resolution, 0:resolution].astype(np.float32) / resolution
+    imgs = np.empty((n, resolution, resolution, 3), np.float32)
+    for i in range(n):
+        cx, cy = rng.uniform(0.2, 0.8, 2)
+        sigma = rng.uniform(0.05, 0.3)
+        blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sigma**2))
+        base = rng.uniform(0, 1, 3)[None, None, :]
+        grad = (xx * rng.uniform(-1, 1) + yy * rng.uniform(-1, 1))[..., None]
+        img = np.clip(base + 0.5 * grad + blob[..., None] * rng.uniform(-1, 1, 3), 0, 1)
+        imgs[i] = img
+    return (imgs * 255).astype(np.uint8)
+
+
+def load_images(data_root: str) -> np.ndarray:
+    for name in ("images.npy", "images.npz"):
+        path = os.path.join(data_root, name)
+        if os.path.exists(path):
+            if name.endswith(".npz"):
+                return np.load(path)["images"]
+            return np.load(path)
+    raise FileNotFoundError(
+        f"No images.npy/images.npz under {data_root} "
+        "(expected uint8 [N, R, R, 3])"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Prot-B-GAN Image Training")
+    parser.add_argument("--data_root", type=str, default="",
+                        help="Directory with images.npy/images.npz (uint8 [N,R,R,3])")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="Train on N procedural synthetic images instead of --data_root")
+    parser.add_argument("--resolution", type=int, default=64)
+    parser.add_argument("--latent_dim", type=int, default=512)
+    parser.add_argument("--fmap_base", type=int, default=8192)
+    parser.add_argument("--fmap_max", type=int, default=512)
+    parser.add_argument("--epochs_per_stage", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--output_dir", type=str, default="./modular_results")
+    parser.add_argument("--device", type=str, default="auto",
+                        choices=["auto", "tpu", "cuda", "cpu"])
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "high", "highest"])
+    return parser
+
+
+def _downscale(images: np.ndarray, factor: int) -> np.ndarray:
+    """[N, R, R, 3] float -> average-pooled by ``factor``."""
+    if factor == 1:
+        return images
+    n, r, _, c = images.shape
+    return images.reshape(n, r // factor, factor, r // factor, factor, c).mean(
+        axis=(2, 4)
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    from probgan_tpu.core.device import device_str, resolve_device
+    from probgan_tpu.core.image_checkpoint import save_image_checkpoint
+    from probgan_tpu.engine import train as train_engine
+    from probgan_tpu.models import pro_gan
+
+    device = resolve_device(args.device)
+    print("Prot-B-GAN image training...")
+    print(f"Device: {device_str(device)}")
+
+    if args.synthetic > 0:
+        raw = synthetic_images(args.synthetic, args.resolution, args.seed)
+        print(f"  - Synthetic dataset: {len(raw)} images @ {args.resolution}²")
+    else:
+        if not args.data_root:
+            print("Error: --data_root or --synthetic required")
+            return 1
+        raw = load_images(args.data_root)
+        print(f"  - Dataset: {len(raw)} images {raw.shape[1:]} from {args.data_root}")
+        if raw.shape[1] != args.resolution:
+            raise ValueError(
+                f"images are {raw.shape[1]}², --resolution is {args.resolution}"
+            )
+
+    # [-1, 1] float once; per-stage downscaled views are built lazily.
+    real_full = raw.astype(np.float32) / 127.5 - 1.0
+
+    config = pro_gan.ProGANConfig(
+        resolution=args.resolution,
+        latent_dim=args.latent_dim,
+        fmap_base=args.fmap_base,
+        fmap_max=args.fmap_max,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = train_engine.progan_init_state(jax.random.key(args.seed), config, args.lr)
+    state = jax.device_put(state, device)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    ckpt_path = os.path.join(args.output_dir, "image_checkpoint.msgpack")
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "w")
+    rng = np.random.RandomState(args.seed)
+    history: dict[str, list] = {"d_loss": [], "g_loss": []}
+
+    n = len(real_full)
+    steps_per_epoch = max(1, n // args.batch_size)
+    fade_epochs = max(1, args.epochs_per_stage // 2)
+
+    for stage in range(config.num_stages):
+        res = pro_gan.stage_resolution(stage)
+        reals = _downscale(real_full, args.resolution // res)
+        print(f"Stage {stage} ({res}²): {args.epochs_per_stage} epochs")
+        for epoch in range(args.epochs_per_stage):
+            # alpha ramps 0 -> 1 over the stage's first half (fade-in), then 1.
+            alpha = 1.0 if stage == 0 else min(1.0, (epoch + 1) / fade_epochs)
+            t0 = time.time()
+            d_sum, g_sum = 0.0, 0.0
+            perm = rng.permutation(n)
+            for step in range(steps_per_epoch):
+                idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
+                if len(idx) < args.batch_size:
+                    break
+                batch = jnp.asarray(reals[idx])
+                zkey = jax.random.fold_in(
+                    jax.random.key(args.seed + 1),
+                    (stage * 1000 + epoch) * 100003 + step,
+                )
+                z = jax.random.normal(zkey, (args.batch_size, config.latent_dim))
+                state, metrics = train_engine.progan_train_step(
+                    state, batch, z, jnp.float32(alpha), config, stage, args.lr
+                )
+                d_sum += float(metrics["d_loss"])
+                g_sum += float(metrics["g_loss"])
+                if args.verbose:
+                    print(
+                        f"  stage {stage} epoch {epoch + 1} step {step + 1}: "
+                        f"d={float(metrics['d_loss']):.4f} "
+                        f"g={float(metrics['g_loss']):.4f} alpha={alpha:.2f}"
+                    )
+            d_avg, g_avg = d_sum / steps_per_epoch, g_sum / steps_per_epoch
+            history["d_loss"].append(d_avg)
+            history["g_loss"].append(g_avg)
+            print(
+                f"  stage {stage} epoch {epoch + 1}/{args.epochs_per_stage}: "
+                f"d_loss={d_avg:.4f} g_loss={g_avg:.4f} alpha={alpha:.2f} "
+                f"({time.time() - t0:.1f}s)"
+            )
+            metrics_log.write(json.dumps({
+                "stage": stage, "epoch": epoch + 1, "alpha": alpha,
+                "d_loss": d_avg, "g_loss": g_avg,
+                "seconds": round(time.time() - t0, 2),
+            }) + "\n")
+            metrics_log.flush()
+
+        save_image_checkpoint(
+            ckpt_path, config,
+            jax.tree.map(np.asarray, state.g_params),
+            jax.tree.map(np.asarray, state.d_params),
+            training_history=history,
+        )
+        if args.verbose:
+            print(f"  checkpoint saved to {ckpt_path}")
+
+    metrics_log.close()
+    print("Training complete!")
+    print(f"  - Checkpoint: {ckpt_path}")
+    return 0

@@ -56,7 +56,12 @@ def score_fn(d_params, images, alpha, config: pro_gan.ProGANConfig, stage: int,
     )
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "frames", "dtype", "use_pallas", "precision"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "stage", "frames", "dtype", "use_pallas", "precision", "chunk",
+    ),
+)
 def latent_walk_fn(
     g_params,
     z0,
@@ -68,13 +73,28 @@ def latent_walk_fn(
     dtype=jnp.float32,
     use_pallas: bool = False,
     precision=None,
+    chunk: int = 8,
 ):
     """Interpolate z0 -> z1 in ``frames`` steps and render each
     (BASELINE config 4: 512² 64-frame z-walk). Linear interpolation in
-    z-space; frames are the batch dimension of one generator call."""
+    z-space. Frames render in ``chunk``-sized generator batches via lax.map —
+    a 64-frame 512² walk as ONE batch needs ~16 GB of fp32 activations
+    (> one chip's HBM); chunking bounds peak memory at chunk-batch size while
+    keeping a single compiled graph."""
     t = jnp.linspace(0.0, 1.0, frames, dtype=z0.dtype)[:, None]
     z = z0[None, :] * (1.0 - t) + z1[None, :] * t
-    return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas, precision)
+    if frames <= chunk:
+        return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas, precision)
+    pad = (-frames) % chunk
+    z = jnp.pad(z, ((0, pad), (0, 0)))
+    z_chunks = z.reshape(-1, chunk, z.shape[-1])
+
+    def render(zc):
+        return generate_fn(g_params, zc, alpha, config, stage, dtype, use_pallas, precision)
+
+    imgs = jax.lax.map(render, z_chunks)
+    imgs = imgs.reshape(-1, *imgs.shape[2:])
+    return imgs[:frames]
 
 
 class ImageGANEngine:

@@ -81,10 +81,11 @@ def progan_train_step(
     def d_loss_fn(d_params):
         fake = pro_gan.generator_rgb(state.g_params, z, config, stage, alpha, dtype)
         real_logits = pro_gan.discriminator_apply(
-            d_params, real_images, config, stage, alpha, dtype
+            d_params, real_images, config, stage, alpha, dtype, remat=True
         )
         fake_logits = pro_gan.discriminator_apply(
-            d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype
+            d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
+            remat=True,
         )
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
@@ -96,9 +97,11 @@ def progan_train_step(
     d_params = optax.apply_updates(state.d_params, d_updates)
 
     def g_loss_fn(g_params):
-        fake = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype)
+        fake = pro_gan.generator_rgb(
+            g_params, z, config, stage, alpha, dtype, remat=True
+        )
         fake_logits = pro_gan.discriminator_apply(
-            d_params, fake, config, stage, alpha, dtype
+            d_params, fake, config, stage, alpha, dtype, remat=True
         )
         return jnp.mean(_softplus(-fake_logits))
 

@@ -198,14 +198,22 @@ def _g_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
 
 def generator_features(
     params: dict, z: jax.Array, config: ProGANConfig, stage: int,
-    dtype=jnp.float32, precision=None,
+    dtype=jnp.float32, precision=None, remat: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
-    """Run the trunk to ``stage``; returns (x_stage, x_prev_or_None)."""
+    """Run the trunk to ``stage``; returns (x_stage, x_prev_or_None).
+
+    ``remat=True`` checkpoints each stage block: the backward pass
+    rematerializes a block's intermediates instead of holding every stage's
+    activations live — required to fit the 1024² G/D train step in one
+    chip's HBM (the un-remat'ed backward exceeds 16 GB at batch 2 fp32)."""
+    block_fn = _g_block
+    if remat:
+        block_fn = jax.checkpoint(_g_block, static_argnums=(2,))
     x = _g_base(params, z, config, dtype, precision)
     prev = None
     for s in range(1, stage + 1):
         prev = x
-        x = _g_block(params["blocks"][s - 1], x, precision)
+        x = block_fn(params["blocks"][s - 1], x, precision)
     return x, prev
 
 
@@ -217,10 +225,11 @@ def generator_rgb(
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
     precision=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Latent -> pre-tanh RGB at resolution ``4 * 2**stage`` with progressive
     alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha)."""
-    x, prev = generator_features(params, z, config, stage, dtype, precision)
+    x, prev = generator_features(params, z, config, stage, dtype, precision, remat)
     rgb = eq_conv(params["to_rgb"][stage], x, gain=1.0, precision=precision)
     if stage > 0:
         rgb_prev = upsample_nearest_2x(
@@ -295,14 +304,19 @@ def discriminator_apply(
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
     precision=None,
+    remat: bool = False,
 ) -> jax.Array:
     """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
     realness logit [B]. Mirrors the generator's progressive blend: after the
-    first down block, lerp with fromRGB of the downsampled image."""
+    first down block, lerp with fromRGB of the downsampled image.
+    ``remat``: see generator_features."""
     image = image.astype(dtype)
+    block_fn = _d_block
+    if remat:
+        block_fn = jax.checkpoint(_d_block, static_argnums=(2,))
     x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
     for s in range(stage, 0, -1):
-        x = _d_block(params["blocks"][s - 1], x, precision)
+        x = block_fn(params["blocks"][s - 1], x, precision)
         if s == stage and stage > 0:
             skip = lrelu(
                 eq_conv(

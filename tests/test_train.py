@@ -196,3 +196,42 @@ def test_native_loader_used_for_int_files(tiny_dataset):
     ref = np.loadtxt(f"{tiny_dataset}/train.txt", dtype=np.int32)
     np.testing.assert_array_equal(train, ref)
     assert n_ent == 40 and n_rel == 4
+
+
+def test_image_trainer_end_to_end(tmp_path, capsys):
+    """Progressive image training (synthetic data) writes a loadable image
+    checkpoint; the CLI's generate_images task renders from it."""
+    from probgan_tpu.cli.train import main as train_main
+
+    out_dir = str(tmp_path / "img_results")
+    rc = train_main([
+        "--model", "image",
+        "--synthetic", "8",
+        "--resolution", "16",
+        "--latent_dim", "8",
+        "--fmap_base", "64",
+        "--fmap_max", "16",
+        "--epochs_per_stage", "1",
+        "--batch_size", "4",
+        "--device", "cpu",
+        "--output_dir", out_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Stage 0 (4²)" in out and "Stage 2 (16²)" in out
+    assert "Training complete!" in out
+
+    ckpt = os.path.join(out_dir, "image_checkpoint.msgpack")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+    from probgan_tpu.cli.infer import main as infer_main
+
+    infer_main([
+        "--checkpoint_path", ckpt,
+        "--task", "generate_images",
+        "--num_images", "2",
+        "--device", "cpu",
+    ])
+    out = capsys.readouterr().out
+    assert "Generating 2 images at 16x16" in out
