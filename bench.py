@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
-BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "8"))  # v5e sweet spot @1024²
 SECONDS = float(os.environ.get("PROBGAN_BENCH_SECONDS", "10"))
 DTYPE = os.environ.get("PROBGAN_BENCH_DTYPE", "float32")
 # Parity-grade MXU precision (3-pass fp32 emulation, ~73 dB vs the CPU

@@ -56,6 +56,12 @@ def stage_resolution(stage: int) -> int:
     return 4 * 2**stage
 
 
+def _fuse_upsample_enabled() -> bool:
+    import os
+
+    return os.environ.get("PROBGAN_FUSE_UPCONV", "1") != "0"
+
+
 # ---------------------------------------------------------------------------
 # equalized-LR primitives
 # ---------------------------------------------------------------------------
@@ -190,8 +196,23 @@ def _g_base(params: dict, z: jax.Array, config: ProGANConfig, dtype,
 
 
 def _g_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
-    x = upsample_nearest_2x(x)
-    x = pixel_norm(lrelu(eq_conv(block["conv1"], x, precision=precision)))
+    if _fuse_upsample_enabled():
+        # Fused upsample-into-conv (ops/fused_upconv.py): never materializes
+        # the 2x-upsampled tensor and pre-sums duplicated taps — exact up to
+        # float reassociation. Disable with PROBGAN_FUSE_UPCONV=0.
+        from probgan_tpu.ops.fused_upconv import upsample2x_conv3x3
+
+        w = block["conv1"]["w"]
+        kh, kw, cin, _ = w.shape
+        scale = _he_scale(kh * kw * cin)
+        x = upsample2x_conv3x3(
+            (w * scale), block["conv1"]["b"], x,
+            precision=resolve_precision(precision),
+        )
+        x = pixel_norm(lrelu(x))
+    else:
+        x = upsample_nearest_2x(x)
+        x = pixel_norm(lrelu(eq_conv(block["conv1"], x, precision=precision)))
     x = pixel_norm(lrelu(eq_conv(block["conv2"], x, precision=precision)))
     return x
 

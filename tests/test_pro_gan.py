@@ -137,3 +137,35 @@ def test_parity_vs_torch_reference(g_params, stage, alpha):
     assert img_jax.shape == img_torch.shape
     psnr = _psnr(img_jax, img_torch)
     assert psnr > 50.0, f"PSNR {psnr:.1f} dB < 50 dB at stage {stage}"
+
+
+def test_fused_upconv_matches_unfused(monkeypatch):
+    """The subpixel-decomposed upsample+conv must equal materialize-then-conv
+    (exact up to fp reassociation of pre-summed taps)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from probgan_tpu.ops.fused_upconv import upsample2x_conv3x3
+
+    key = jax.random.key(0)
+    kw_, kx = jax.random.split(key)
+    w = jax.random.normal(kw_, (3, 3, 8, 16), jnp.float32)
+    b = jax.random.normal(jax.random.key(2), (16,), jnp.float32)
+    x = jax.random.normal(kx, (2, 6, 6, 8), jnp.float32)
+
+    fused = upsample2x_conv3x3(w, b, x)
+    up = pro_gan.upsample_nearest_2x(x)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_generator_same_with_and_without_fusion(g_params, monkeypatch):
+    z = jax.random.normal(jax.random.key(9), (2, CFG.latent_dim))
+    monkeypatch.setenv("PROBGAN_FUSE_UPCONV", "0")
+    unfused = np.asarray(pro_gan.generator_rgb(g_params, z, CFG, 3, 0.7))
+    monkeypatch.setenv("PROBGAN_FUSE_UPCONV", "1")
+    fused = np.asarray(pro_gan.generator_rgb(g_params, z, CFG, 3, 0.7))
+    np.testing.assert_allclose(fused, unfused, atol=2e-5)
