@@ -30,6 +30,7 @@ import numpy as np
 
 RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
 BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "8"))  # v5e sweet spot @1024²
+CHAIN = int(os.environ.get("PROBGAN_BENCH_CHAIN", "4"))  # batches per device call
 SECONDS = float(os.environ.get("PROBGAN_BENCH_SECONDS", "10"))
 DTYPE = os.environ.get("PROBGAN_BENCH_DTYPE", "float32")
 # Parity-grade MXU precision (3-pass fp32 emulation, ~73 dB vs the CPU
@@ -109,31 +110,43 @@ def main() -> None:
     # Timing sync: block_until_ready can return early through relayed/remote
     # device transports, so each timed call fetches a device-computed int
     # checksum scalar — a hard synchronization with negligible transfer.
+    # Each call additionally CHAINS `CHAIN` generator batches through one
+    # lax.scan so the host<->device round trip (measured ~34 ms through this
+    # environment's relay) amortizes; otherwise the RPC latency, not the
+    # chip, is what gets measured.
+    z_chain = jax.random.normal(
+        jax.random.key(SEED + 1), (CHAIN, BATCH, cfg.latent_dim), jnp.float32
+    )
+
     @jax.jit
     def gen_checksum(params, latents):
-        img = generate_fn(
-            params, latents, alpha, cfg, stage, dtype, use_pallas, PRECISION
-        )
-        return jnp.sum(img.astype(jnp.int32))
+        def step(acc, zb):
+            img = generate_fn(
+                params, zb, alpha, cfg, stage, dtype, use_pallas, PRECISION
+            )
+            return acc + jnp.sum(img.astype(jnp.int32)), None
+
+        acc, _ = jax.lax.scan(step, jnp.int32(0), latents)
+        return acc
 
     log("compiling device graph...")
     t0 = time.perf_counter()
-    float(gen_checksum(g_params, z))
+    float(gen_checksum(g_params, z_chain))
     log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
 
-    float(gen_checksum(g_params, z))  # warmup
+    float(gen_checksum(g_params, z_chain))  # warmup
 
     latencies = []
     images = 0
     t_start = time.perf_counter()
     while time.perf_counter() - t_start < SECONDS:
         t1 = time.perf_counter()
-        float(gen_checksum(g_params, z))
+        float(gen_checksum(g_params, z_chain))
         latencies.append(time.perf_counter() - t1)
-        images += BATCH
+        images += BATCH * CHAIN
     elapsed = time.perf_counter() - t_start
     ips = images / elapsed
-    p50_ms = 1000.0 * float(np.percentile(latencies, 50)) / BATCH
+    p50_ms = 1000.0 * float(np.percentile(latencies, 50)) / (BATCH * CHAIN)
 
     log(f"device: {ips:.2f} img/s, p50 {p50_ms:.2f} ms/img over {len(latencies)} batches")
 

@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(the reference's default artifact path)")
     parser.add_argument("--checkpoint_format", type=str, default="torch",
                         choices=["torch", "native"])
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from <output_dir>/train_state.msgpack "
+                             "(full state incl. optimizer; written every epoch)")
     parser.add_argument("--device", type=str, default="auto",
                         choices=["auto", "tpu", "cuda", "cpu"])
     return parser
@@ -188,10 +191,22 @@ def main(argv: list[str] | None = None) -> int:
             )
         state = jax.device_put(state, device)
 
-        rng = np.random.RandomState(args.seed)
+        from probgan_tpu.core.train_state import load_train_state, save_train_state
+
+        rng = None  # per-epoch shuffles derive from (seed + epoch); see loop
         history: dict[str, list] = {"val_hit10": [], "d_loss": [], "g_loss": []}
-        best_hit10, best_epoch = 0.0, 0
+        best_hit10, best_epoch, start_epoch = 0.0, 0, 0
         os.makedirs(args.output_dir, exist_ok=True)
+        train_state_path = os.path.join(args.output_dir, "train_state.msgpack")
+        if args.resume and os.path.exists(train_state_path):
+            state, meta = load_train_state(train_state_path, state)
+            state = jax.device_put(state, device)
+            history = {k: list(v) for k, v in meta["history"].items()}
+            best_hit10 = float(meta["best_hit10"])
+            best_epoch = int(meta["best_epoch"])
+            start_epoch = int(meta["epoch"])
+            print(f"Resumed from epoch {start_epoch} "
+                  f"(best Hit@10 {best_hit10:.4f} at epoch {best_epoch})")
         # Structured metrics log (SURVEY.md §5.5): one JSON line per epoch
         # behind the same stdout text the reference-style prints provide.
         metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
@@ -222,9 +237,10 @@ def main(argv: list[str] | None = None) -> int:
             return ckpt
 
         steps_per_epoch = max(1, len(train) // args.batch_size)
-        for epoch in range(1, args.epochs + 1):
+        for epoch in range(start_epoch + 1, args.epochs + 1):
             t0 = time.time()
-            perm = rng.permutation(len(train))
+            # Per-epoch shuffle seed: deterministic and resume-stable.
+            perm = np.random.RandomState(args.seed + epoch).permutation(len(train))
             epoch_d, epoch_g = 0.0, 0.0
             for step in range(steps_per_epoch):
                 idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
@@ -272,6 +288,13 @@ def main(argv: list[str] | None = None) -> int:
                 save_checkpoint(ckpt_path, checkpoint_dict(state, best_hit10, best_epoch))
                 if args.verbose:
                     print(f"  new best; checkpoint saved to {ckpt_path}")
+
+            save_train_state(train_state_path, state, {
+                "epoch": epoch,
+                "best_hit10": best_hit10,
+                "best_epoch": best_epoch,
+                "history": history,
+            })
 
         metrics_log.close()
         if vocab is not None:

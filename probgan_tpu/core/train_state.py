@@ -1,0 +1,46 @@
+"""Full-train-state checkpointing for resume.
+
+The reference's checkpoint schema (C17) is inference-oriented: it carries the
+best model but not the optimizer state, so training cannot continue from it.
+This module adds the missing half (SURVEY.md §5.4 "resume"): the complete
+train state — params, embedding tables, BOTH optimizer states, and loop
+metadata (epoch, best-so-far, history) — serialized via
+flax.serialization state-dicts so optax's nested NamedTuple states
+round-trip through msgpack (raw msgpack would flatten them to lists).
+
+Restore requires a template state with the same structure (built by the
+trainer's init for the same architecture); values are poured into it with
+``from_state_dict``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from flax import serialization
+
+
+def save_train_state(path: str, state: Any, meta: dict) -> None:
+    """Serialize (state pytree incl. optax states, loop metadata)."""
+    payload = {
+        "state": serialization.to_state_dict(state),
+        "meta": meta,
+    }
+    blob = serialization.msgpack_serialize(payload)
+    dirname = os.path.dirname(path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic on POSIX: no torn checkpoints on crash
+
+
+def load_train_state(path: str, template: Any) -> tuple[Any, dict]:
+    """Restore a train state into ``template``'s structure. Returns
+    (state, meta)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template, payload["state"])
+    return state, payload["meta"]

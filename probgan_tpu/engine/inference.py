@@ -38,7 +38,7 @@ from probgan_tpu.ops import rank as rank_ops
 from probgan_tpu.utils.profiling import task_trace
 
 _REL_CHUNK = 256   # relations scored per scan step in analyze_relations
-_N_TILE = 512      # entity-table row padding so the Pallas rank kernel tiles
+_N_TILE = 2048     # entity-table row padding so the Pallas rank kernel tiles
 
 
 def _rank_scores(pred: jax.Array, entity_norm_padded: jax.Array, num_entities: int,

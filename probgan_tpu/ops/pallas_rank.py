@@ -24,13 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from probgan_tpu.ops import rank as rank_ops
 
-_TILE_B = 8
-_TILE_N = 512
+_TILE_N = 2048
+_MAX_B = 256   # whole query batch stays resident in VMEM (B*D*4 <= 128 KB)
 _NORM_EPS = 1e-12
 
 
 def _rank_kernel(pred_ref, table_ref, out_ref):
-    p = pred_ref[:]  # [TILE_B, D]
+    # The WHOLE query batch rides in VMEM for every N tile, so the [N, D]
+    # table streams from HBM exactly once per call. (A B-tiled grid re-reads
+    # the table B/TILE_B times — measured 2.7x slower than XLA at N=1M.)
+    p = pred_ref[:]  # [B, D]
     norm = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
     pn = p / jnp.maximum(norm, _NORM_EPS)
     out_ref[:] = jax.lax.dot_general(
@@ -48,18 +51,17 @@ def _rank_kernel(pred_ref, table_ref, out_ref):
 def _rank_scores_pallas(pred: jax.Array, table_norm: jax.Array, interpret: bool = False):
     b, d = pred.shape
     n = table_norm.shape[0]
-    grid = (b // _TILE_B, n // _TILE_N)
     return pl.pallas_call(
         _rank_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=grid,
+            grid=(n // _TILE_N,),
             in_specs=[
-                pl.BlockSpec((_TILE_B, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((_TILE_N, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_N, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (_TILE_B, _TILE_N), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (b, _TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM
             ),
         ),
         cost_estimate=pl.CostEstimate(
@@ -72,10 +74,11 @@ def _rank_scores_pallas(pred: jax.Array, table_norm: jax.Array, interpret: bool 
 
 
 def supports(pred_shape: tuple[int, int], n: int) -> bool:
-    """Tiling gate: batch multiple of 8, table multiple of the N tile, and
-    feature dim a multiple of the 128-lane width."""
+    """Tiling gate: batch a multiple of the fp32 sublane count and small
+    enough to stay VMEM-resident; table a multiple of the N tile; feature dim
+    a multiple of the 128-lane width."""
     b, d = pred_shape
-    return b % _TILE_B == 0 and n % _TILE_N == 0 and d % 128 == 0
+    return b % 8 == 0 and b <= _MAX_B and n % _TILE_N == 0 and d % 128 == 0
 
 
 def rank_scores_fused(

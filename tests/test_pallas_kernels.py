@@ -18,7 +18,7 @@ INTERPRET = jax.default_backend() != "tpu"
 def test_rank_scores_fused_matches_jnp():
     key = jax.random.key(0)
     pred = jax.random.normal(key, (16, 128), dtype=jnp.float32)
-    table = jax.random.normal(jax.random.key(1), (1024, 128), dtype=jnp.float32)
+    table = jax.random.normal(jax.random.key(1), (2048, 128), dtype=jnp.float32)
     table_norm = rank_ops.l2_normalize(table)
 
     assert pallas_rank.supports(pred.shape, table.shape[0])

@@ -235,3 +235,30 @@ def test_image_trainer_end_to_end(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "Generating 2 images at 16x16" in out
+
+
+def test_trainer_resume(tiny_dataset, tmp_path, capsys):
+    """--resume continues from the saved full train state (params + optimizer
+    + loop metadata) instead of restarting."""
+    from probgan_tpu.cli.train import main as train_main
+
+    out_dir = str(tmp_path / "resume_results")
+    common = [
+        "--data_root", tiny_dataset,
+        "--batch_size", "32",
+        "--embed_dim", "16",
+        "--noise_dim", "8",
+        "--hidden_dim", "32",
+        "--device", "cpu",
+        "--output_dir", out_dir,
+        "--checkpoint_format", "native",
+    ]
+    assert train_main(common + ["--epochs", "2"]) == 0
+    capsys.readouterr()
+    assert os.path.exists(os.path.join(out_dir, "train_state.msgpack"))
+
+    assert train_main(common + ["--epochs", "4", "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "Resumed from epoch 2" in out
+    assert "Epoch 3/4" in out and "Epoch 4/4" in out
+    assert "Epoch 1/4" not in out  # did not restart
