@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["auto", "tpu", "cuda", "cpu"])
     parser.add_argument("--precision", type=str, default="default",
                         choices=["default", "high", "highest"])
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from <output_dir>/train_state.msgpack")
     return parser
 
 
@@ -130,21 +132,31 @@ def main(argv: list[str] | None = None) -> int:
         fmap_base=args.fmap_base,
         fmap_max=args.fmap_max,
     )
+    from probgan_tpu.core.train_state import load_train_state, save_train_state
+
     with jax.default_device(jax.devices("cpu")[0]):
         state = train_engine.progan_init_state(jax.random.key(args.seed), config, args.lr)
     state = jax.device_put(state, device)
 
     os.makedirs(args.output_dir, exist_ok=True)
     ckpt_path = os.path.join(args.output_dir, "image_checkpoint.msgpack")
-    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "w")
-    rng = np.random.RandomState(args.seed)
+    train_state_path = os.path.join(args.output_dir, "train_state.msgpack")
+    start_stage = 0
     history: dict[str, list] = {"d_loss": [], "g_loss": []}
+    if args.resume and os.path.exists(train_state_path):
+        state, meta = load_train_state(train_state_path, state)
+        state = jax.device_put(state, device)
+        history = {k: list(v) for k, v in meta["history"].items()}
+        start_stage = int(meta["stage"]) + 1
+        print(f"Resumed after stage {meta['stage']} (next: stage {start_stage})")
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a" if args.resume else "w")
+    rng = np.random.RandomState(args.seed)
 
     n = len(real_full)
     steps_per_epoch = max(1, n // args.batch_size)
     fade_epochs = max(1, args.epochs_per_stage // 2)
 
-    for stage in range(config.num_stages):
+    for stage in range(start_stage, config.num_stages):
         res = pro_gan.stage_resolution(stage)
         reals = _downscale(real_full, args.resolution // res)
         print(f"Stage {stage} ({res}²): {args.epochs_per_stage} epochs")
@@ -196,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
             jax.tree.map(np.asarray, state.d_params),
             training_history=history,
         )
+        save_train_state(train_state_path, state, {"stage": stage, "history": history})
         if args.verbose:
             print(f"  checkpoint saved to {ckpt_path}")
 

@@ -262,3 +262,21 @@ def test_trainer_resume(tiny_dataset, tmp_path, capsys):
     assert "Resumed from epoch 2" in out
     assert "Epoch 3/4" in out and "Epoch 4/4" in out
     assert "Epoch 1/4" not in out  # did not restart
+
+
+def test_image_trainer_resume(tmp_path, capsys):
+    from probgan_tpu.cli.train_image import main as image_main
+
+    out_dir = str(tmp_path / "img_resume")
+    common = [
+        "--synthetic", "8", "--resolution", "16", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "1",
+        "--batch_size", "4", "--device", "cpu", "--output_dir", out_dir,
+    ]
+    assert image_main(common) == 0
+    capsys.readouterr()
+    assert image_main(common + ["--resume"]) == 0
+    out = capsys.readouterr().out
+    # All stages already done -> resume is a no-op completion.
+    assert "Resumed after stage 2" in out
+    assert "Stage 0" not in out
