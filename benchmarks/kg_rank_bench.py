@@ -49,7 +49,7 @@ def main() -> None:
     from probgan_tpu.ops import rank as rank_ops
 
     n, d, z_dim, b = args.entities, args.embed_dim, args.noise_dim, args.batch
-    n_pad = -(-n // 512) * 512
+    n_pad = -(-n // 2048) * 2048  # pallas rank kernel N tile (ops/pallas_rank.py)
     log(f"backend={jax.default_backend()} N={n} D={d} B={b} k={args.top_k} "
         f"pallas={not args.no_pallas}")
 
@@ -74,7 +74,13 @@ def main() -> None:
     z = jax.device_put(
         jax.random.normal(jax.random.key(3), (b, z_dim), jnp.float32), dev
     )
-    use_pallas = (not args.no_pallas) and jax.default_backend() == "tpu"
+    from probgan_tpu.ops import pallas_rank
+
+    use_pallas = (
+        (not args.no_pallas)
+        and jax.default_backend() == "tpu"
+        and pallas_rank.supports((b, d), n_pad)
+    )
 
     # Chain several query batches per device call so the host<->device RPC
     # round trip (~34 ms through this environment's relay) amortizes.

@@ -64,6 +64,10 @@ def main() -> None:
     parser.add_argument("--seconds", type=float, default=5.0)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--precision", type=str, default="high",
+                        choices=["default", "high", "highest"],
+                        help="MXU precision; 'high' is the parity-grade "
+                             "setting (>50 dB vs the fp32 CPU reference)")
     args = parser.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 
@@ -75,6 +79,7 @@ def main() -> None:
     from probgan_tpu.models import pro_gan
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    precision = args.precision
     use_pallas = jax.default_backend() == "tpu"
     rng = np.random.RandomState(SEED)
     results = []
@@ -97,11 +102,13 @@ def main() -> None:
         cfg, stage, params = make(64)
         z = jnp.asarray(rng.standard_normal((1, cfg.latent_dim)), jnp.float32)
         img = np.asarray(
-            generate_fn(params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas)
+            generate_fn(
+                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas, precision
+            )
         )
         ips, p50 = _timed(
             lambda: _sync(generate_fn(
-                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas
+                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas, precision
             )),
             args.seconds,
             1,
@@ -134,7 +141,7 @@ def main() -> None:
         z = jnp.asarray(rng.standard_normal((32, cfg.latent_dim)), jnp.float32)
         ips, p50 = _timed(
             lambda: _sync(generate_fn(
-                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas
+                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas, precision
             )),
             args.seconds,
             32,
@@ -149,12 +156,14 @@ def main() -> None:
         # 256² fade-in: alpha is traced — the sweep reuses ONE compiled graph.
         cfg, stage, params = make(256)
         z = jnp.asarray(rng.standard_normal((8, cfg.latent_dim)), jnp.float32)
+        import itertools
+
         alphas = np.linspace(0.0, 1.0, 11, dtype=np.float32)
-        ai = iter(np.tile(alphas, 1000))
+        ai = itertools.cycle(alphas)
 
         def step():
             _sync(generate_fn(
-                params, z, jnp.float32(next(ai)), cfg, stage, dtype, use_pallas
+                params, z, jnp.float32(next(ai)), cfg, stage, dtype, use_pallas, precision
             ))
 
         ips, p50 = _timed(step, args.seconds, 8)
@@ -171,7 +180,8 @@ def main() -> None:
         z1 = jnp.asarray(rng.standard_normal(cfg.latent_dim), jnp.float32)
         ips, p50 = _timed(
             lambda: _sync(latent_walk_fn(
-                params, z0, z1, jnp.float32(1.0), cfg, stage, 64, dtype, use_pallas
+                params, z0, z1, jnp.float32(1.0), cfg, stage, 64, dtype, use_pallas,
+                precision,
             )),
             args.seconds,
             64,
@@ -191,14 +201,16 @@ def main() -> None:
 
         gen_ips, _ = _timed(
             lambda: _sync(generate_fn(
-                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas
+                params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas, precision
             )),
             args.seconds,
             2,
         )
         imgs = (
             np.asarray(
-                generate_fn(params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas)
+                generate_fn(
+                    params, z, jnp.float32(1.0), cfg, stage, dtype, use_pallas, precision
+                )
             ).astype(np.float32)
             / 127.5
             - 1.0
@@ -206,7 +218,7 @@ def main() -> None:
         imgs = jnp.asarray(imgs)
         score_ips, _ = _timed(
             lambda: _sync(score_fn(
-                d_params, imgs, jnp.float32(1.0), cfg, stage, dtype
+                d_params, imgs, jnp.float32(1.0), cfg, stage, dtype, precision
             )),
             args.seconds,
             2,

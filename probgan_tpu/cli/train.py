@@ -135,14 +135,28 @@ def main(argv: list[str] | None = None) -> int:
     import sys
 
     raw_argv = sys.argv[1:] if argv is None else list(argv)
-    if "--model" in raw_argv:
-        model = raw_argv[raw_argv.index("--model") + 1]
-        if model == "image":
-            from probgan_tpu.cli.train_image import main as image_main
+    # Dispatch --model image (both "--model image" and "--model=image" forms)
+    # to the image trainer, stripping the flag.
+    model = None
+    filtered = []
+    skip_next = False
+    for i, a in enumerate(raw_argv):
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--model":
+            if i + 1 < len(raw_argv):
+                model = raw_argv[i + 1]
+                skip_next = True
+            continue
+        if a.startswith("--model="):
+            model = a.split("=", 1)[1]
+            continue
+        filtered.append(a)
+    if model == "image":
+        from probgan_tpu.cli.train_image import main as image_main
 
-            filtered = [a for i, a in enumerate(raw_argv)
-                        if a != "--model" and raw_argv[i - 1] != "--model"]
-            return image_main(filtered)
+        return image_main(filtered)
 
     args = build_parser().parse_args(raw_argv)
 
@@ -210,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
         # Structured metrics log (SURVEY.md §5.5): one JSON line per epoch
         # behind the same stdout text the reference-style prints provide.
         metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
-        metrics_log = open(metrics_path, "w")
+        metrics_log = open(metrics_path, "a" if args.resume else "w")
         ckpt_ext = ".pt" if args.checkpoint_format == "torch" else ".msgpack"
         ckpt_path = os.path.join(args.output_dir, f"best_checkpoint{ckpt_ext}")
 
@@ -260,11 +274,23 @@ def main(argv: list[str] | None = None) -> int:
                         f"gen_cos={float(metrics['gen_cosine']):.4f}"
                     )
 
-            hit10 = float(
-                train_engine.kg_eval_hits(
-                    state.g_params, state.node_emb, state.rel_emb, valid_dev, z_eval, 10
+            epoch_d = float(epoch_d)
+            epoch_g = float(epoch_g)
+            # Chunked eval: one unchunked call materializes a
+            # [num_valid, num_entities] score matrix (OOM at production N).
+            hits, seen = 0.0, 0
+            eval_bs = 4096
+            for off in range(0, len(valid), eval_bs):
+                vb = valid_dev[off : off + eval_bs]
+                zb = z_eval[off : off + eval_bs]
+                frac = float(
+                    train_engine.kg_eval_hits(
+                        state.g_params, state.node_emb, state.rel_emb, vb, zb, 10
+                    )
                 )
-            )
+                hits += frac * len(vb)
+                seen += len(vb)
+            hit10 = hits / max(seen, 1)
             history["val_hit10"].append(hit10)
             history["d_loss"].append(epoch_d / steps_per_epoch)
             history["g_loss"].append(epoch_g / steps_per_epoch)

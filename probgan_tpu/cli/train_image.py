@@ -164,7 +164,8 @@ def main(argv: list[str] | None = None) -> int:
             # alpha ramps 0 -> 1 over the stage's first half (fade-in), then 1.
             alpha = 1.0 if stage == 0 else min(1.0, (epoch + 1) / fade_epochs)
             t0 = time.time()
-            d_sum, g_sum = 0.0, 0.0
+            d_sum = jnp.float32(0.0)  # device-side accumulation: see train.py
+            g_sum = jnp.float32(0.0)
             perm = rng.permutation(n)
             for step in range(steps_per_epoch):
                 idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
@@ -179,15 +180,16 @@ def main(argv: list[str] | None = None) -> int:
                 state, metrics = train_engine.progan_train_step(
                     state, batch, z, jnp.float32(alpha), config, stage, args.lr
                 )
-                d_sum += float(metrics["d_loss"])
-                g_sum += float(metrics["g_loss"])
+                d_sum = d_sum + metrics["d_loss"]
+                g_sum = g_sum + metrics["g_loss"]
                 if args.verbose:
                     print(
                         f"  stage {stage} epoch {epoch + 1} step {step + 1}: "
                         f"d={float(metrics['d_loss']):.4f} "
                         f"g={float(metrics['g_loss']):.4f} alpha={alpha:.2f}"
                     )
-            d_avg, g_avg = d_sum / steps_per_epoch, g_sum / steps_per_epoch
+            d_avg = float(d_sum) / steps_per_epoch
+            g_avg = float(g_sum) / steps_per_epoch
             history["d_loss"].append(d_avg)
             history["g_loss"].append(g_avg)
             print(

@@ -71,6 +71,19 @@ def _pad_ids(ids: Sequence[int], bucket: int) -> np.ndarray:
     return arr
 
 
+def _check_ids(ids, bound: int, kind: str) -> None:
+    """Raise like the torch reference would on a bad index: JAX gathers clamp
+    out-of-range ids silently, which turns a user typo into confidently wrong
+    results."""
+    arr = np.asarray(ids)
+    if arr.size == 0:
+        return
+    lo, hi = int(arr.min()), int(arr.max())
+    if lo < 0 or hi >= bound:
+        bad = lo if lo < 0 else hi
+        raise IndexError(f"{kind} id {bad} out of range [0, {bound})")
+
+
 # ---------------------------------------------------------------------------
 # jitted kernels (module-level so compilation caches are shared)
 # ---------------------------------------------------------------------------
@@ -104,13 +117,15 @@ def _discriminator_scores_fn(d_params, node_emb, rel_table, triplets):
     return kg_gan.discriminator_score_triplets(d_params, node_emb, rel_table, triplets)
 
 
-@partial(jax.jit, static_argnames=("top_k", "num_entities", "use_pallas"))
-def _similar_entities_fn(entity_norm, queries, top_k, num_entities, use_pallas):
-    """Rows of the cached normalized table vs the whole table; top-(k+1) to
-    allow host-side self-exclusion, matching pro_b_gan_infer.py:231-236."""
+@partial(jax.jit, static_argnames=("k_query", "num_entities", "use_pallas"))
+def _similar_entities_fn(entity_norm, queries, k_query, num_entities, use_pallas):
+    """Rows of the cached normalized table vs the whole table; k_query =
+    min(top_k + 1, N) candidates so host-side self-exclusion can drop the
+    query itself (pro_b_gan_infer.py:231-236; clamped so top_k >= N is a
+    legal request rather than a crash)."""
     q = entity_norm[queries]
     scores = _rank_scores(q, entity_norm, num_entities, use_pallas)
-    return jax.lax.top_k(scores, top_k + 1)
+    return jax.lax.top_k(scores, k_query)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_relations"))
@@ -264,6 +279,19 @@ class InferenceEngine:
         n = len(head_relation_pairs)
         print(f"Predicting top-{top_k} tails for {n} head-relation pairs...")
 
+        if n == 0:
+            return {
+                "predictions": [],
+                "metadata": {
+                    "num_queries": 0,
+                    "top_k": top_k,
+                    "model_hit10": self.best_val_hit10,
+                },
+                **({"scores": []} if return_scores else {}),
+            }
+
+        _check_ids([p[0] for p in head_relation_pairs], self.num_entities, "entity")
+        _check_ids([p[1] for p in head_relation_pairs], self.num_relations, "relation")
         bucket = _bucket(n)
         heads = _pad_ids([p[0] for p in head_relation_pairs], bucket)
         rels = _pad_ids([p[1] for p in head_relation_pairs], bucket)
@@ -301,9 +329,28 @@ class InferenceEngine:
         n = len(triplets)
         print(f"Scoring {n} triplets using {method}...")
 
+        if n == 0:
+            results: Dict[str, Any] = {
+                "triplets": [],
+                "metadata": {
+                    "num_triplets": 0,
+                    "method": method,
+                    "model_hit10": self.best_val_hit10,
+                },
+            }
+            if method in ("generator", "both"):
+                results["generator_scores"] = []
+            if method in ("discriminator", "both"):
+                results["discriminator_logits"] = []
+                results["discriminator_probabilities"] = []
+            return results
+
+        trip_np = np.asarray(triplets, dtype=np.int32).reshape(n, 3)
+        _check_ids(trip_np[:, [0, 2]], self.num_entities, "entity")
+        _check_ids(trip_np[:, 1], self.num_relations, "relation")
         bucket = _bucket(n)
         trip = np.zeros((bucket, 3), dtype=np.int32)
-        trip[:n] = np.asarray(triplets, dtype=np.int32)
+        trip[:n] = trip_np
         trip_dev = jax.device_put(trip, self.device)
 
         results: Dict[str, Any] = {
@@ -349,13 +396,25 @@ class InferenceEngine:
         n = len(entity_ids)
         print(f"Finding top-{top_k} similar entities for {n} query entities...")
 
+        if n == 0:
+            return {
+                "similar_entities": [],
+                "metadata": {
+                    "num_queries": 0,
+                    "top_k": top_k,
+                    "model_hit10": self.best_val_hit10,
+                },
+            }
+
+        _check_ids(entity_ids, self.num_entities, "entity")
         bucket = _bucket(n)
         queries = _pad_ids(entity_ids, bucket)
+        k_query = min(top_k + 1, self.num_entities)
         with task_trace("similar_entities"):
             top_scores, top_indices = _similar_entities_fn(
                 self.entity_norm,
                 jax.device_put(queries, self.device),
-                top_k,
+                k_query,
                 self.num_entities,
                 self._use_pallas,
             )
@@ -396,6 +455,18 @@ class InferenceEngine:
         )
 
         pairs = [(h, t) for h in head_ids for t in tail_ids]
+        if not pairs:
+            return {
+                "relation_analysis": [],
+                "metadata": {
+                    "num_head_entities": len(head_ids),
+                    "num_tail_entities": len(tail_ids),
+                    "top_k": top_k,
+                    "model_hit10": self.best_val_hit10,
+                },
+            }
+        _check_ids(head_ids, self.num_entities, "entity")
+        _check_ids(tail_ids, self.num_entities, "entity")
         bucket = _bucket(len(pairs))
         pair_arr = np.zeros((bucket, 2), dtype=np.int32)
         pair_arr[: len(pairs)] = np.asarray(pairs, dtype=np.int32)

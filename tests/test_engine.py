@@ -273,3 +273,41 @@ def test_pallas_rank_path_matches_jnp_path(native_ckpt_path):
     s2 = e_pal.find_similar_entities([4, 9], top_k=5)
     assert s1["similar_entities"][0]["similar_entities"] == \
         s2["similar_entities"][0]["similar_entities"]
+
+
+# -- robustness fixes from review ---------------------------------------------
+
+def test_similar_entities_topk_clamped_to_table(engine):
+    """top_k >= N is a legal request: clamped to the table size (minus self
+    when present) instead of crashing in lax.top_k."""
+    res = engine.find_similar_entities([0], top_k=NUM_ENTITIES)
+    got = res["similar_entities"][0]["similar_entities"]
+    assert len(got) == NUM_ENTITIES - 1  # all others, self excluded
+    assert 0 not in got
+
+
+def test_out_of_range_ids_raise(engine):
+    with pytest.raises(IndexError, match=r"entity id 999999 out of range"):
+        engine.predict_tails([(999999, 0)], top_k=3)
+    with pytest.raises(IndexError, match=r"relation id 99 out of range"):
+        engine.predict_tails([(0, 99)], top_k=3)
+    with pytest.raises(IndexError, match="entity id"):
+        engine.score_triplets([(0, 0, 10**6)])
+    with pytest.raises(IndexError, match="entity id -1"):
+        engine.find_similar_entities([-1])
+    with pytest.raises(IndexError, match="entity id"):
+        engine.analyze_relations([10**6], [0])
+
+
+def test_empty_inputs_return_empty_results(engine):
+    assert engine.predict_tails([], top_k=5, return_scores=True) == {
+        "predictions": [],
+        "metadata": {"num_queries": 0, "top_k": 5,
+                     "model_hit10": pytest.approx(0.4321)},
+        "scores": [],
+    }
+    res = engine.score_triplets([], method="both")
+    assert res["triplets"] == [] and res["generator_scores"] == []
+    assert res["discriminator_logits"] == []
+    assert engine.find_similar_entities([], top_k=3)["similar_entities"] == []
+    assert engine.analyze_relations([], [1])["relation_analysis"] == []
