@@ -311,3 +311,18 @@ def test_empty_inputs_return_empty_results(engine):
     assert res["discriminator_logits"] == []
     assert engine.find_similar_entities([], top_k=3)["similar_entities"] == []
     assert engine.analyze_relations([], [1])["relation_analysis"] == []
+
+
+def test_batch_bucket_padding_no_contamination(engine):
+    """A 9-item batch pads to bucket 16; padded rows must not leak into
+    results. The deterministic discriminator path makes this exact."""
+    trips = [(i, i % NUM_RELATIONS, (i * 3) % NUM_ENTITIES) for i in range(9)]
+    whole = engine.score_triplets(trips, method="discriminator")
+    parts = []
+    for t in trips:
+        parts.extend(
+            engine.score_triplets([t], method="discriminator")["discriminator_logits"]
+        )
+    np.testing.assert_allclose(
+        whole["discriminator_logits"], parts, rtol=1e-5, atol=1e-6
+    )

@@ -280,3 +280,28 @@ def test_image_trainer_resume(tmp_path, capsys):
     # All stages already done -> resume is a no-op completion.
     assert "Resumed after stage 2" in out
     assert "Stage 0" not in out
+
+
+def test_kg_eval_hits_chunking_equivalence():
+    """Chunked eval (as the trainer runs it) must equal one unchunked call."""
+    import jax.numpy as jnp
+
+    state = train_engine.kg_init_state(
+        jax.random.key(5), num_entities=50, num_relations=4,
+        embed_dim=16, noise_dim=8, hidden_dim=32,
+    )
+    trips = jnp.asarray(
+        np.random.RandomState(3).randint(0, [50, 4, 50], size=(40, 3)), jnp.int32
+    )
+    z = jax.random.normal(jax.random.key(6), (40, 8))
+    full = float(train_engine.kg_eval_hits(
+        state.g_params, state.node_emb, state.rel_emb, trips, z, 10
+    ))
+    hits, seen = 0.0, 0
+    for off in range(0, 40, 16):
+        vb, zb = trips[off:off + 16], z[off:off + 16]
+        hits += float(train_engine.kg_eval_hits(
+            state.g_params, state.node_emb, state.rel_emb, vb, zb, 10
+        )) * len(vb)
+        seen += len(vb)
+    assert abs(hits / seen - full) < 1e-6
