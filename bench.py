@@ -103,7 +103,10 @@ def main() -> None:
     cpu_ips = measure_cpu_baseline(g_params, cfg)
 
     g_params = jax.device_put(g_params, jax.devices()[0])
-    use_pallas = jax.default_backend() == "tpu"
+    # Pallas uint8 denorm measured 13% SLOWER than letting XLA fuse the
+    # denorm into the preceding epilogue (the pallas_call boundary forces the
+    # fp32 RGB through HBM); off unless explicitly requested.
+    use_pallas = os.environ.get("PROBGAN_PALLAS_UINT8", "0") == "1"
     z = jax.random.normal(jax.random.key(SEED + 1), (BATCH, cfg.latent_dim), jnp.float32)
     alpha = jnp.float32(1.0)
 

@@ -80,7 +80,7 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     precision = args.precision
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = os.environ.get("PROBGAN_PALLAS_UINT8", "0") == "1"
     rng = np.random.RandomState(SEED)
     results = []
 

@@ -207,7 +207,6 @@ def main(argv: list[str] | None = None) -> int:
 
         from probgan_tpu.core.train_state import load_train_state, save_train_state
 
-        rng = None  # per-epoch shuffles derive from (seed + epoch); see loop
         history: dict[str, list] = {"val_hit10": [], "d_loss": [], "g_loss": []}
         best_hit10, best_epoch, start_epoch = 0.0, 0, 0
         os.makedirs(args.output_dir, exist_ok=True)

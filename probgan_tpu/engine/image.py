@@ -4,8 +4,12 @@ scoring, and latent-space walks (BASELINE.json configs 2-5).
 All hot paths are module-level jitted pure functions keyed on the (hashable,
 frozen) ProGANConfig + static stage, so each benchmark resolution compiles
 exactly one graph; ``alpha`` is traced (one graph serves the whole 256²
-fade-in sweep). The final tanh->uint8 denorm optionally runs as the fused
-Pallas kernel (ops/pallas_image.py) — on by default on TPU.
+fade-in sweep). The final tanh->uint8 denorm can run as the fused Pallas
+kernel (ops/pallas_image.py) but defaults OFF: measured at 1024² b8 the
+XLA path is 13% faster (53.6 vs 47.3 img/s) because XLA fuses the denorm
+into the preceding op's epilogue, whereas a pallas_call boundary forces the
+fp32 RGB tensor through HBM — exactly the round trip the kernel was meant to
+save. Set PROBGAN_PALLAS_UINT8=1 (or use_pallas=True) to enable it.
 """
 
 from __future__ import annotations
@@ -114,7 +118,9 @@ class ImageGANEngine:
         self.device = resolve_device(device)
         self.dtype = dtype
         if use_pallas is None:
-            use_pallas = self.device.platform == "tpu"
+            import os
+
+            use_pallas = os.environ.get("PROBGAN_PALLAS_UINT8", "0") == "1"
         self.use_pallas = use_pallas
         self._rng = RngStream(seed)
 
