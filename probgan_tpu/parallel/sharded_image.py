@@ -1,0 +1,48 @@
+"""Data-parallel image generation over a device mesh.
+
+Latents shard over the ``data`` axis, generator params replicate, and the
+jitted generator graph (engine/image.py:generate_fn) partitions automatically
+under the shardings — XLA inserts no collectives for this embarrassingly
+parallel forward, so throughput scales linearly with chips over ICI-connected
+slices. The reference has no parallelism of any kind (SURVEY.md §2.2); this
+is the DP serving path for the image family (the KG family's TP path is
+sharded_rank.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from probgan_tpu.engine.image import generate_fn
+from probgan_tpu.models.pro_gan import ProGANConfig
+
+
+def dp_generate(
+    mesh: Mesh,
+    g_params,
+    z: jax.Array,
+    config: ProGANConfig,
+    stage: int,
+    alpha: float = 1.0,
+    dtype=jnp.float32,
+    precision=None,
+) -> jax.Array:
+    """Generate a latent batch sharded over the mesh's ``data`` axis.
+
+    ``z`` is [B, latent_dim] with B divisible by the data-axis size.
+    Returns uint8 images [B, R, R, 3], batch-sharded over ``data``.
+    """
+    dp = mesh.shape["data"]
+    if z.shape[0] % dp != 0:
+        raise ValueError(
+            f"batch {z.shape[0]} must be divisible by data-parallel size {dp}"
+        )
+    repl = NamedSharding(mesh, P())
+    batch_shard = NamedSharding(mesh, P("data"))
+    g_params = jax.device_put(g_params, repl)
+    z = jax.device_put(z, batch_shard)
+    return generate_fn(
+        g_params, z, jnp.float32(alpha), config, stage, dtype, False, precision
+    )

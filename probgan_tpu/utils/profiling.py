@@ -22,9 +22,25 @@ def task_trace(name: str):
 
 @contextlib.contextmanager
 def maybe_profile(profile_dir: str | None):
-    """Capture a full profiler trace into ``profile_dir`` when set."""
+    """Capture a full profiler trace into ``profile_dir`` when set.
+
+    Degrades gracefully: some device transports (e.g. relayed/remote TPU
+    plugins) reject profiling with a backend error — the task must still
+    complete, just without a trace."""
     if not profile_dir:
         yield
         return
-    with jax.profiler.trace(profile_dir):
+    try:
+        ctx = jax.profiler.trace(profile_dir)
+        ctx.__enter__()
+    except Exception as e:  # noqa: BLE001 — profiling must never kill a task
+        print(f"Warning: profiler unavailable ({e}); continuing without trace")
         yield
+        return
+    try:
+        yield
+    finally:
+        try:
+            ctx.__exit__(None, None, None)
+        except Exception as e:  # noqa: BLE001
+            print(f"Warning: profiler trace capture failed ({e})")
