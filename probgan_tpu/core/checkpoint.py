@@ -99,11 +99,19 @@ def _to_numpy_tree(tree: Any) -> Any:
 def save_checkpoint(path: str, checkpoint: dict, format: str = "auto") -> None:
     """Save a checkpoint dict.
 
-    format: 'native' (msgpack), 'torch' (.pt via torch.save), or 'auto'
-    (torch when the path ends in .pt, else native).
+    format: 'native' (msgpack), 'torch' (.pt via torch.save), 'orbax'
+    (directory checkpoint via orbax — sharded/async-capable, the right
+    backend once the entity table outgrows a single host buffer), or 'auto'
+    (torch when the path ends in .pt, orbax for a .orbax suffix, else
+    native).
     """
     if format == "auto":
-        format = "torch" if path.endswith(".pt") else "native"
+        if path.endswith(".pt"):
+            format = "torch"
+        elif path.rstrip("/").endswith(".orbax"):
+            format = "orbax"
+        else:
+            format = "native"
     checkpoint = _to_numpy_tree(checkpoint)
     dirname = os.path.dirname(path)
     if dirname:
@@ -130,6 +138,11 @@ def save_checkpoint(path: str, checkpoint: dict, format: str = "auto") -> None:
         blob = serialization.msgpack_serialize(checkpoint)
         with open(path, "wb") as f:
             f.write(blob)
+    elif format == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), checkpoint, force=True)
     else:
         raise ValueError(f"Unknown checkpoint format: {format!r}")
 
@@ -155,6 +168,11 @@ def load_checkpoint(path: str) -> dict:
     """
     if not os.path.exists(path):
         raise FileNotFoundError(f"Checkpoint not found: {path}")
+
+    if os.path.isdir(path):  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
 
     if _looks_like_torch(path):
         import torch

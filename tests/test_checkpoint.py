@@ -65,3 +65,31 @@ def test_torch_layout_transpose_roundtrip(ckpt_dict):
     for layer in params:
         np.testing.assert_allclose(params[layer]["w"], back[layer]["w"])
         np.testing.assert_allclose(params[layer]["b"], back[layer]["b"])
+
+
+def test_orbax_roundtrip(tmp_path, ckpt_dict):
+    """Orbax directory backend (format='orbax' / *.orbax suffix): the
+    sharded/async-capable option for tables beyond one host buffer."""
+    path = str(tmp_path / "best_checkpoint.orbax")
+    save_checkpoint(path, ckpt_dict, format="orbax")
+    loaded = load_checkpoint(path)
+    _assert_ckpt_equal(ckpt_dict, loaded)
+
+
+def test_orbax_auto_by_suffix(tmp_path, ckpt_dict):
+    path = str(tmp_path / "ckpt.orbax")
+    save_checkpoint(path, ckpt_dict)  # auto -> orbax by suffix
+    import os as _os
+
+    assert _os.path.isdir(path)
+    loaded = load_checkpoint(path)
+    _assert_ckpt_equal(ckpt_dict, loaded)
+
+
+def test_engine_loads_orbax_checkpoint(tmp_path, ckpt_dict):
+    from probgan_tpu.engine import InferenceEngine
+
+    path = str(tmp_path / "e.orbax")
+    save_checkpoint(path, ckpt_dict, format="orbax")
+    engine = InferenceEngine(path, device="cpu")
+    assert engine.num_entities == 50
