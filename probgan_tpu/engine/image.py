@@ -15,7 +15,6 @@ save. Set PROBGAN_PALLAS_UINT8=1 (or use_pallas=True) to enable it.
 from __future__ import annotations
 
 from functools import partial
-from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -20,14 +20,13 @@ same progress banners. TPU-first differences (SURVEY.md §3.2, §3.4):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 from probgan_tpu.core.checkpoint import load_checkpoint
 from probgan_tpu.core.device import device_str, resolve_device
