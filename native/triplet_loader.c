@@ -46,8 +46,11 @@ parse_triplets(PyObject *self, PyObject *args)
 
     Py_ssize_t n = 0;
     while (p < end) {
-        /* skip non-numeric separators (spaces, tabs, newlines, CR) */
-        while (p < end && (*p < '0' || *p > '9') && *p != '-')
+        /* skip whitespace separators ONLY; any other non-digit byte (letters,
+         * ':', '.', ...) means this is not a pure-integer triplet file —
+         * raise instead of silently stripping it (e.g. 'GO:0005737' must not
+         * silently become 5737). */
+        while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r'))
             p++;
         if (p >= end)
             break;
@@ -62,9 +65,27 @@ parse_triplets(PyObject *self, PyObject *args)
             v = v * 10 + (*p - '0');
             p++;
             digits++;
+            if (digits > 10 || v > INT32_MAX) { /* int32 overflow */
+                PyMem_Free(out);
+                PyBuffer_Release(&view);
+                PyErr_Format(PyExc_ValueError,
+                             "triplet id exceeds int32 range near byte offset %zd",
+                             (Py_ssize_t)(p - (const char *)view.buf));
+                return NULL;
+            }
         }
-        if (!digits)
-            continue; /* stray '-' */
+        if (!digits || (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
+                        *p != '\r')) {
+            PyMem_Free(out);
+            PyBuffer_Release(&view);
+            PyErr_Format(PyExc_ValueError,
+                         "unexpected byte 0x%02x at offset %zd: triplet files "
+                         "must contain only whitespace-separated integers "
+                         "(string ids take the vocabulary path)",
+                         (unsigned char)(p < end ? *p : '-'),
+                         (Py_ssize_t)(p - (const char *)view.buf));
+            return NULL;
+        }
         out[n++] = (int32_t)(neg ? -v : v);
     }
 

@@ -35,8 +35,11 @@ def load_triplets(data_root: str, debug: bool = False):
     valid_path = os.path.join(data_root, "valid.txt")
 
     def _is_pure_int_file(path) -> bool:
-        """Sniff: only digits/whitespace/'-' means the native int parser is
-        safe (it would silently strip letters from string ids otherwise)."""
+        """Cheap router: a numeric-looking prefix routes to the native int
+        parser. The parser itself validates the WHOLE file and raises on any
+        non-integer byte (native/triplet_loader.c), so a file that turns
+        stringy after this prefix falls back to the vocabulary path below
+        instead of being silently corrupted."""
         with open(path, "rb") as f:
             chunk = f.read(65536)
         return bool(chunk) and all(
@@ -47,16 +50,25 @@ def load_triplets(data_root: str, debug: bool = False):
         not os.path.exists(valid_path) or _is_pure_int_file(valid_path)
     )
 
+    train = vocab = None
     if pure_int:
-        # Native C fast path (probgan_tpu/native): one-pass tokenizer.
+        # Native C fast path (probgan_tpu/native): one-pass tokenizer that
+        # raises ValueError on any byte that is not a whitespace-separated
+        # int32 — full-file validation, not just the sniffed prefix.
         from probgan_tpu import native
 
-        train = native.parse_triplets(train_path)
-        valid = (
-            native.parse_triplets(valid_path) if os.path.exists(valid_path) else None
-        )
-        vocab = None
-    else:
+        try:
+            train = native.parse_triplets(train_path)
+            valid = (
+                native.parse_triplets(valid_path)
+                if os.path.exists(valid_path)
+                else None
+            )
+        except ValueError as e:
+            if debug:
+                print(f"[debug] native parse rejected ({e}); using vocab path")
+            train = None
+    if train is None:
 
         def read(path):
             rows = []
@@ -222,7 +234,18 @@ def main(argv: list[str] | None = None) -> int:
                   f"(best Hit@10 {best_hit10:.4f} at epoch {best_epoch})")
         # Structured metrics log (SURVEY.md §5.5): one JSON line per epoch
         # behind the same stdout text the reference-style prints provide.
+        # On resume, drop lines past the resumed epoch — a crashed run may
+        # have logged epochs after the last saved train_state, which would
+        # otherwise duplicate when those epochs re-run.
         metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+        if args.resume and os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                kept = [
+                    line for line in f
+                    if line.strip() and json.loads(line).get("epoch", 0) <= start_epoch
+                ]
+            with open(metrics_path, "w") as f:
+                f.writelines(kept)
         metrics_log = open(metrics_path, "a" if args.resume else "w")
         ckpt_ext = ".pt" if args.checkpoint_format == "torch" else ".msgpack"
         ckpt_path = os.path.join(args.output_dir, f"best_checkpoint{ckpt_ext}")
@@ -258,7 +281,10 @@ def main(argv: list[str] | None = None) -> int:
             for step in range(steps_per_epoch):
                 idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
                 batch = jnp.asarray(train[idx])
-                key = jax.random.fold_in(jax.random.key(args.seed), epoch * 100003 + step)
+                # Global-step derivation: unique for every (epoch, step) —
+                # epoch*CONST+step collides across epochs once step > CONST.
+                global_step = (epoch - 1) * steps_per_epoch + step
+                key = jax.random.fold_in(jax.random.key(args.seed), global_step)
                 state, metrics = train_engine.kg_train_step(
                     state, batch, key, args.lr, args.cosine_weight, args.ce_weight,
                     args.adv_weight,

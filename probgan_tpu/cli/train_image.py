@@ -153,6 +153,15 @@ def main(argv: list[str] | None = None) -> int:
     rng = np.random.RandomState(args.seed)
 
     n = len(real_full)
+    if n < args.batch_size:
+        # Erroring beats the silent alternative: with n < batch_size every
+        # epoch would skip its only (short) batch and log losses of 0.0 as if
+        # training had happened.
+        print(
+            f"Error: dataset has {n} images but --batch_size is "
+            f"{args.batch_size}; use --batch_size <= {n}"
+        )
+        return 1
     steps_per_epoch = max(1, n // args.batch_size)
     fade_epochs = max(1, args.epochs_per_stage // 2)
 

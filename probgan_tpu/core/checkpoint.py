@@ -155,8 +155,12 @@ def _looks_like_torch(path: str) -> bool:
     with open(path, "rb") as f:
         magic = f.read(2)
     # torch>=1.6 zip archives start with 'PK'; legacy torch pickles start with
-    # pickle protocol bytes 0x80 0x02..0x05.
-    return magic[:2] == b"PK" or (len(magic) == 2 and magic[0] == 0x80)
+    # pickle PROTO opcode 0x80 followed by a protocol byte 2..5. The protocol
+    # check matters: a native msgpack whose top level is an empty fixmap also
+    # starts with 0x80, but its next byte is a msgpack type tag, never 2..5.
+    if magic[:2] == b"PK":
+        return True
+    return len(magic) == 2 and magic[0] == 0x80 and 2 <= magic[1] <= 5
 
 
 def load_checkpoint(path: str) -> dict:
@@ -177,7 +181,19 @@ def load_checkpoint(path: str) -> dict:
     if _looks_like_torch(path):
         import torch
 
-        raw = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # weights_only rejects any pickled non-tensor object. The C17
+            # schema is tensors + plain containers, so this path should be
+            # rare; full unpickling executes arbitrary code from the file and
+            # therefore requires an explicit opt-in for untrusted paths.
+            if os.environ.get("PROBGAN_TORCH_UNSAFE_LOAD", "0") != "1":
+                raise ValueError(
+                    f"{path} requires full (unsafe) torch unpickling; set "
+                    "PROBGAN_TORCH_UNSAFE_LOAD=1 to allow it for a trusted file"
+                )
+            raw = torch.load(path, map_location="cpu", weights_only=False)
         ckpt = dict(raw)
         ckpt["node_emb"] = np.asarray(raw["node_emb"].detach().numpy(), np.float32)
         ckpt["rel_emb"] = {

@@ -142,7 +142,7 @@ class ImageGANEngine:
         return self.config.num_stages - 1
 
     def sample_latents(self, n: int) -> jax.Array:
-        key = self._rng.next_key()
+        key = self._rng.next_key("sample_latents")
         return jax.device_put(
             jax.random.normal(key, (n, self.config.latent_dim), dtype=jnp.float32),
             self.device,

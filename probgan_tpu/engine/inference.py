@@ -259,8 +259,8 @@ class InferenceEngine:
         print(f"  - Best validation Hit@10: {self.best_val_hit10:.4f}")
         print(f"  - Achieved at epoch: {self.best_epoch}")
 
-    def _noise(self, batch: int) -> jax.Array:
-        key = self._rng.next_key()
+    def _noise(self, batch: int, task: str) -> jax.Array:
+        key = self._rng.next_key(task)
         return jax.device_put(
             jax.random.normal(key, (batch, self.noise_dim), dtype=jnp.float32),
             self.device,
@@ -302,7 +302,7 @@ class InferenceEngine:
                 self.rel_table,
                 jax.device_put(heads, self.device),
                 jax.device_put(rels, self.device),
-                self._noise(bucket),
+                self._noise(bucket, "predict_tails"),
                 top_k,
                 self.num_entities,
                 self._use_pallas,
@@ -368,7 +368,7 @@ class InferenceEngine:
                     self.node_emb,
                     self.rel_table,
                     trip_dev,
-                    self._noise(bucket),
+                    self._noise(bucket, "score_triplets"),
                 )
                 results["generator_scores"] = np.asarray(
                     jax.device_get(gen)[:n], np.float32

@@ -31,8 +31,9 @@ def main():
         save_checkpoint(path, make_checkpoint_dict(), format="native")
         engine = InferenceEngine(path, device="cpu", seed=0)
 
-        # Call order matters: the generator RNG counter is part of the
-        # golden contract (see test_golden.py).
+        # RNG keys are task-derived (core/rng.py), so each task's FIRST call
+        # on a fresh engine is reproducible regardless of the order the other
+        # tasks run in — goldens survive test reordering.
         results = {
             "predict_tails.json": engine.predict_tails(
                 [(0, 1), (2, 3)], top_k=5, return_scores=True

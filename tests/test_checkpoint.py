@@ -1,5 +1,7 @@
 """Checkpoint round-trips: native msgpack, torch .pt interop, format detect."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,41 @@ def test_engine_loads_orbax_checkpoint(tmp_path, ckpt_dict):
     save_checkpoint(path, ckpt_dict, format="orbax")
     engine = InferenceEngine(path, device="cpu")
     assert engine.num_entities == 50
+
+
+def test_msgpack_fixmap_not_sniffed_as_torch(tmp_path):
+    """A native msgpack whose first byte is 0x80 (empty fixmap) must not be
+    classified as a legacy torch pickle: the sniff requires a valid pickle
+    protocol byte (2..5) after the PROTO opcode."""
+    from probgan_tpu.core.checkpoint import _looks_like_torch
+
+    path = str(tmp_path / "fixmap.msgpack")
+    with open(path, "wb") as f:
+        f.write(b"\x80\xa3foo")  # msgpack: {} then a str tag — not pickle
+    assert not _looks_like_torch(path)
+    # And real legacy-pickle bytes still sniff as torch.
+    pk = str(tmp_path / "legacy.bin")
+    with open(pk, "wb") as f:
+        f.write(b"\x80\x02}q\x00.")
+    assert _looks_like_torch(pk)
+
+
+def test_torch_load_is_weights_only(tmp_path, ckpt_dict, monkeypatch):
+    """Loading a .pt goes through torch.load(weights_only=True); a pickle
+    carrying arbitrary objects is rejected unless explicitly opted in."""
+    import pickle
+
+    from probgan_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+
+    # Normal C17 .pt loads fine under weights_only.
+    ok = str(tmp_path / "ok.pt")
+    save_checkpoint(ok, ckpt_dict, format="torch")
+    assert load_checkpoint(ok)["best_epoch"] == ckpt_dict["best_epoch"]
+
+    # A pickle with a non-tensor payload class is refused without the opt-in.
+    evil = str(tmp_path / "evil.pt")
+    with open(evil, "wb") as f:
+        pickle.dump({"node_emb": os.system}, f, protocol=2)
+    monkeypatch.delenv("PROBGAN_TORCH_UNSAFE_LOAD", raising=False)
+    with pytest.raises(Exception):
+        load_checkpoint(evil)

@@ -90,10 +90,16 @@ def test_predict_tails_matches_numpy(engine, ckpt_dict):
     pairs = [(3, 1), (7, 0), (10, 4)]
     res = engine.predict_tails(pairs, top_k=6, return_scores=True)
 
-    # Reproduce the engine's counter-based noise draw for this call.
-    counter = engine._rng.counter - 1
+    # Reproduce the engine's task-keyed noise draw for this call
+    # (core/rng.py: fold_in(fold_in(seed, crc32(task)), per-task counter)).
+    import zlib
+
+    counter = engine._rng.counter("predict_tails") - 1
     bucket = 8  # len(pairs)=3 -> bucket 8
-    key = jax.random.fold_in(jax.random.key(0), counter)
+    key = jax.random.fold_in(
+        jax.random.key(0), zlib.crc32(b"predict_tails") & 0x7FFFFFFF
+    )
+    key = jax.random.fold_in(key, counter)
     z = np.asarray(jax.random.normal(key, (bucket, NOISE_DIM)), np.float32)
 
     node = ckpt_dict["node_emb"]

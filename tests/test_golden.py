@@ -39,11 +39,27 @@ def test_golden_predict_tails(engine):
 
 
 def test_golden_score_triplets(engine):
-    # NOTE: the generator path draws from the engine's counter-based RNG
-    # stream; this test depends on being the first generator call after
-    # predict_tails above (counter order is part of the golden contract).
     res = engine.score_triplets([(0, 1, 2), (3, 4, 5)], method="both")
     assert _canon(res) == _golden("score_triplets.json")
+
+
+def test_goldens_survive_reordering(native_ckpt_path):
+    """RNG keys are task-derived (core/rng.py): each task's first call on a
+    fresh engine matches the golden no matter which tasks ran before it."""
+    eng = InferenceEngine(native_ckpt_path, device="cpu", seed=0)
+    # Deliberately inverted call order vs make_goldens.py.
+    res_score = eng.score_triplets([(0, 1, 2), (3, 4, 5)], method="both")
+    res_pred = eng.predict_tails([(0, 1), (2, 3)], top_k=5, return_scores=True)
+    assert _canon(res_score) == _golden("score_triplets.json")
+    assert _canon(res_pred) == _golden("predict_tails.json")
+
+
+def test_golden_torch_pt_load_path(torch_ckpt_path):
+    """The torch-.pt physical format load path produces byte-identical task
+    output to the native msgpack path (same logical checkpoint + seed)."""
+    eng = InferenceEngine(torch_ckpt_path, device="cpu", seed=0)
+    res = eng.predict_tails([(0, 1), (2, 3)], top_k=5, return_scores=True)
+    assert _canon(res) == _golden("predict_tails.json")
 
 
 def test_golden_similar_entities(engine):

@@ -305,3 +305,45 @@ def test_kg_eval_hits_chunking_equivalence():
         )) * len(vb)
         seen += len(vb)
     assert abs(hits / seen - full) < 1e-6
+
+
+def test_native_parser_rejects_string_ids(tmp_path):
+    """The C tokenizer raises on non-integer bytes instead of silently
+    stripping them ('GO:0005737' must not become 5737) — the whole-file
+    validation behind the cheap prefix sniff in cli/train.py."""
+    from probgan_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native extension unavailable")
+    p = tmp_path / "train.txt"
+    # Numeric for the first lines (so a prefix sniff would pass), stringy later.
+    p.write_text("1 0 2\n" * 10 + "GO:0005737 0 3\n")
+    with pytest.raises(ValueError):
+        native.parse_triplets(str(p))
+
+
+def test_native_parser_rejects_int32_overflow(tmp_path):
+    from probgan_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native extension unavailable")
+    p = tmp_path / "train.txt"
+    p.write_text("1 0 2\n3 0 2147483648\n")  # INT32_MAX + 1
+    with pytest.raises(ValueError):
+        native.parse_triplets(str(p))
+
+
+def test_trainer_falls_back_to_vocab_on_late_strings(tmp_path):
+    """A file whose first 64 KiB is numeric but contains string ids later
+    must route to the vocabulary path, not silently corrupt (ADVICE r1)."""
+    from probgan_tpu.cli.train import load_triplets
+
+    root = tmp_path / "data"
+    root.mkdir()
+    # > 64 KiB of pure-int lines, then string ids.
+    lines = ["%d 0 %d" % (i % 7, (i + 1) % 7) for i in range(12000)]
+    lines.append("GO:0005737 0 GO:0001234")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    train, valid, n_ent, n_rel, vocab = load_triplets(str(root))
+    assert vocab is not None  # vocabulary path was taken
+    assert len(train) == 12001
