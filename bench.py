@@ -30,7 +30,7 @@ import numpy as np
 
 RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
 BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "8"))  # v5e sweet spot @1024²
-CHAIN = int(os.environ.get("PROBGAN_BENCH_CHAIN", "4"))  # batches per device call
+CHAIN = int(os.environ.get("PROBGAN_BENCH_CHAIN", "8"))  # batches per device call (~34 ms relay RPC amortized to ~4%)
 SECONDS = float(os.environ.get("PROBGAN_BENCH_SECONDS", "10"))
 DTYPE = os.environ.get("PROBGAN_BENCH_DTYPE", "float32")
 # Parity-grade MXU precision (3-pass fp32 emulation, ~73 dB vs the CPU
@@ -121,11 +121,17 @@ def main() -> None:
         jax.random.key(SEED + 1), (CHAIN, BATCH, cfg.latent_dim), jnp.float32
     )
 
+    from probgan_tpu.engine.image import packed_default
+
+    packed = packed_default() and DTYPE == "float32"
+    log(f"packed late-stage Pallas path: {packed}")
+
     @jax.jit
     def gen_checksum(params, latents):
         def step(acc, zb):
             img = generate_fn(
-                params, zb, alpha, cfg, stage, dtype, use_pallas, PRECISION
+                params, zb, alpha, cfg, stage, dtype, use_pallas, PRECISION,
+                packed,
             )
             return acc + jnp.sum(img.astype(jnp.int32)), None
 
@@ -153,6 +159,27 @@ def main() -> None:
 
     log(f"device: {ips:.2f} img/s, p50 {p50_ms:.2f} ms/img over {len(latencies)} batches")
 
+    # Roofline accounting (VERDICT r1 #10): ideal HBM traffic per image under
+    # the packed execution model — each stage's upconv reads act(s-1) and
+    # writes act(s); conv2 reads+writes act(s); the final stage writes RGB
+    # instead of features. hbm_bw_util = achieved ideal-traffic rate over the
+    # v5e's 819 GB/s nominal HBM bandwidth (the measured practical elementwise
+    # ceiling through this chip is ~622 GB/s — see benchmarks/RESULTS.md).
+    def act_bytes(s):
+        r = pro_gan.stage_resolution(s)
+        return r * r * cfg.nf(s) * 4
+
+    bytes_per_img = act_bytes(0)
+    for s in range(1, stage + 1):
+        final = s == stage
+        bytes_per_img += act_bytes(s - 1) + act_bytes(s)  # upconv r/w
+        bytes_per_img += act_bytes(s)  # conv2 read
+        bytes_per_img += (RES * RES * 3 * 4) if final else act_bytes(s)
+    hbm_bw_util = ips * bytes_per_img / 819e9
+    log(f"ideal traffic {bytes_per_img/1e6:.0f} MB/img -> "
+        f"{ips * bytes_per_img / 1e9:.0f} GB/s ({100*hbm_bw_util:.0f}% of "
+        f"819 GB/s nominal)")
+
     print(
         json.dumps(
             {
@@ -160,6 +187,8 @@ def main() -> None:
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips > 0 else None,
+                "p50_ms_per_image_chained": round(p50_ms, 2),
+                "hbm_bw_util": round(hbm_bw_util, 3),
             }
         )
     )

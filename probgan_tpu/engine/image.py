@@ -27,7 +27,21 @@ from probgan_tpu.ops import pallas_image
 from probgan_tpu.utils.profiling import task_trace
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "dtype", "use_pallas", "precision"))
+def packed_default() -> bool:
+    """Default for the phase-blocked Pallas late-stage path: on for TPU
+    unless PROBGAN_PACKED=0 (the escape hatch)."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PROBGAN_PACKED", "1") != "0"
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "stage", "dtype", "use_pallas", "precision", "packed"),
+)
 def generate_fn(
     g_params,
     z,
@@ -37,14 +51,19 @@ def generate_fn(
     dtype=jnp.float32,
     use_pallas: bool = False,
     precision=None,
+    packed: bool = False,
 ):
     """Latent [B, L] -> uint8 images [B, R, R, 3].
 
     ``precision``: None/"default" (1-pass bf16 MXU, ~48 dB vs the fp32 CPU
     reference at 1024²), "high" (3-pass, ~73 dB — the parity-grade setting),
-    "highest" (6-pass, ~80 dB; nearly the same speed as "high" because the
-    late stages are HBM-bandwidth-bound)."""
-    rgb = pro_gan.generator_rgb(g_params, z, config, stage, alpha, dtype, precision)
+    "highest" (6-pass, ~80 dB).
+
+    ``packed``: route eligible late stages through the phase-blocked Pallas
+    kernels (ops/pallas_packed.py) — the TPU production configuration."""
+    rgb = pro_gan.generator_rgb(
+        g_params, z, config, stage, alpha, dtype, precision, packed=packed
+    )
     if use_pallas:
         return pallas_image.to_uint8_fused(rgb)
     return pro_gan.to_uint8(rgb)
@@ -63,6 +82,7 @@ def score_fn(d_params, images, alpha, config: pro_gan.ProGANConfig, stage: int,
     jax.jit,
     static_argnames=(
         "config", "stage", "frames", "dtype", "use_pallas", "precision", "chunk",
+        "packed",
     ),
 )
 def latent_walk_fn(
@@ -77,6 +97,7 @@ def latent_walk_fn(
     use_pallas: bool = False,
     precision=None,
     chunk: int = 8,
+    packed: bool = False,
 ):
     """Interpolate z0 -> z1 in ``frames`` steps and render each
     (BASELINE config 4: 512² 64-frame z-walk). Linear interpolation in
@@ -87,13 +108,17 @@ def latent_walk_fn(
     t = jnp.linspace(0.0, 1.0, frames, dtype=z0.dtype)[:, None]
     z = z0[None, :] * (1.0 - t) + z1[None, :] * t
     if frames <= chunk:
-        return generate_fn(g_params, z, alpha, config, stage, dtype, use_pallas, precision)
+        return generate_fn(
+            g_params, z, alpha, config, stage, dtype, use_pallas, precision, packed
+        )
     pad = (-frames) % chunk
     z = jnp.pad(z, ((0, pad), (0, 0)))
     z_chunks = z.reshape(-1, chunk, z.shape[-1])
 
     def render(zc):
-        return generate_fn(g_params, zc, alpha, config, stage, dtype, use_pallas, precision)
+        return generate_fn(
+            g_params, zc, alpha, config, stage, dtype, use_pallas, precision, packed
+        )
 
     imgs = jax.lax.map(render, z_chunks)
     imgs = imgs.reshape(-1, *imgs.shape[2:])
@@ -121,6 +146,7 @@ class ImageGANEngine:
 
             use_pallas = os.environ.get("PROBGAN_PALLAS_UINT8", "0") == "1"
         self.use_pallas = use_pallas
+        self.packed = packed_default() and dtype == jnp.float32
         self._rng = RngStream(seed)
 
         # Init on the CPU backend (eager init on an accelerator costs one
@@ -155,7 +181,7 @@ class ImageGANEngine:
         with task_trace("generate_images"):
             img = generate_fn(
                 self.g_params, z, jnp.float32(alpha), self.config, stage,
-                self.dtype, self.use_pallas,
+                self.dtype, self.use_pallas, None, self.packed,
             )
             return np.asarray(jax.device_get(img))
 
@@ -180,6 +206,6 @@ class ImageGANEngine:
         with task_trace("latent_walk"):
             img = latent_walk_fn(
                 self.g_params, z0, z1, jnp.float32(alpha), self.config, stage,
-                frames, self.dtype, self.use_pallas,
+                frames, self.dtype, self.use_pallas, None, 8, self.packed,
             )
             return np.asarray(jax.device_get(img))

@@ -238,6 +238,89 @@ def generator_features(
     return x, prev
 
 
+def packed_start_stage(config: ProGANConfig, stage: int) -> int | None:
+    """First stage the phase-blocked Pallas path (ops/pallas_packed.py) can
+    take over, or None. Packed stages need nf <= 64 (where NHWC lane padding
+    wastes >= 2x of every HBM access) and an entry resolution >= 128 so the
+    per-phase lane count stays a 128 multiple."""
+    s_min = stage
+    while s_min >= 1 and config.nf(s_min) <= 64:
+        s_min -= 1
+    s_min += 1
+    s0 = max(s_min, 6)  # stage_resolution(5) = 128: minimum aligned entry
+    if s0 > stage:
+        return None
+    return s0
+
+
+# Ladder mapping for the packed path. "high" maps to the kernels' "highest"
+# (fp32 6-pass) mode: the split-3 bf16 kernel mode lands at ~55 dB end-to-end
+# (uint8 rounding amplifies its ~4e-6 per-dot error) — above the 50 dB
+# north-star bar but below the ~73 dB grade "high" advertises, and
+# packed-highest at 93 img/s already beats XLA-high (57 img/s) by 1.6x
+# (measured 1024² b8; benchmarks/RESULTS.md round 2).
+_PACKED_MODES = {
+    None: "default",
+    "default": "default",
+    jax.lax.Precision.DEFAULT: "default",
+    "high": "highest",
+    jax.lax.Precision.HIGH: "highest",
+    "highest": "highest",
+    jax.lax.Precision.HIGHEST: "highest",
+}
+
+
+def _g_late_packed(
+    params: dict,
+    x_entry: jax.Array,  # NHWC features of stage s0-1
+    config: ProGANConfig,
+    s0: int,
+    stage: int,
+    alpha,
+    precision,
+) -> jax.Array:
+    """Run stages [s0, stage] with the phase-blocked Pallas kernels and
+    return the blended pre-tanh RGB in NHWC. Inference-only (no VJP)."""
+    from probgan_tpu.ops import pallas_packed as pk
+
+    mode = _PACKED_MODES[precision]
+
+    def conv_w(p):  # eq-LR scale baked into the weights
+        w = p["w"]
+        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+
+    def rgb_w(p):  # toRGB: 1x1 conv, gain 1 -> [C, 3]
+        w = p["w"]
+        return (w * _he_scale(w.shape[2], gain=1.0))[0, 0]
+
+    x = pk.nhwc_to_packed(x_entry.astype(jnp.float32))
+    p = 1
+    for s in range(s0, stage + 1):
+        block = params["blocks"][s - 1]
+        if s == stage:
+            feats, rgb_prev8 = pk.packed_upconv(
+                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode,
+                rgb_w=rgb_w(params["to_rgb"][s - 1]),
+                rgb_b=params["to_rgb"][s - 1]["b"],
+            )
+        else:
+            feats = pk.packed_upconv(
+                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode
+            )
+        p *= 2
+        if s == stage:
+            rgb = pk.packed_conv_rgb(
+                feats, conv_w(block["conv2"]), block["conv2"]["b"],
+                rgb_w(params["to_rgb"][s]), params["to_rgb"][s]["b"],
+                rgb_prev8, jnp.asarray(alpha, jnp.float32), p, mode=mode,
+            )
+            return pk.packed_rgb_to_nhwc(rgb, p)
+        x = pk.packed_conv(
+            feats, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode
+        )
+    raise AssertionError("unreachable")
+
+
 def generator_rgb(
     params: dict,
     z: jax.Array,
@@ -247,9 +330,23 @@ def generator_rgb(
     dtype=jnp.float32,
     precision=None,
     remat: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
     """Latent -> pre-tanh RGB at resolution ``4 * 2**stage`` with progressive
-    alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha)."""
+    alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha).
+
+    ``packed=True`` routes the eligible late stages (packed_start_stage)
+    through the phase-blocked Pallas kernel path — the production inference
+    configuration on TPU. Forward-only (the kernels define no VJP); training
+    and any non-fp32 dtype use the XLA path regardless."""
+    s0 = None
+    if packed and dtype == jnp.float32:
+        s0 = packed_start_stage(config, stage)
+    if s0 is not None:
+        x = _g_base(params, z, config, dtype, precision)
+        for s in range(1, s0):
+            x = _g_block(params["blocks"][s - 1], x, precision)
+        return _g_late_packed(params, x, config, s0, stage, alpha, precision)
     x, prev = generator_features(params, z, config, stage, dtype, precision, remat)
     rgb = eq_conv(params["to_rgb"][stage], x, gain=1.0, precision=precision)
     if stage > 0:
@@ -269,9 +366,13 @@ def generator_apply(
     alpha: jax.Array | float = 1.0,
     dtype=jnp.float32,
     precision=None,
+    packed: bool = False,
 ) -> jax.Array:
     """Full image path: latent -> uint8 image [B, R, R, 3]."""
-    return to_uint8(generator_rgb(params, z, config, stage, alpha, dtype, precision))
+    return to_uint8(
+        generator_rgb(params, z, config, stage, alpha, dtype, precision,
+                      packed=packed)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,566 @@
+"""Pallas TPU kernels for the generator's bandwidth-bound late stages.
+
+The north-star mandate (BASELINE.json): "conv+norm+LeakyReLU fusion,
+upsample fused into the following conv, toRGB stage blending — hand-written
+Pallas kernels sized to MXU tiles". These kernels deliver all three, replacing
+the XLA NHWC path for stages whose channel count (32/64) wastes 4x/2x of every
+HBM access to 128-lane padding (benchmarks/RESULTS.md "per-stage cost": the
+final 1024² stage alone was 61% of the round-1 forward).
+
+Layout: ``[B, C, H, P*Wp]`` — channels-major, H in sublanes, W in lanes, so
+every byte moved is payload. Columns are stored PHASE-BLOCKED: the image's
+full column ``u = P*j + psi`` lives at lane ``psi*Wp + j`` (P = the column
+phase count, Wp = W/P). Why: a nearest-2x upsample maps output phase ``psi``
+to input phase ``psi//2`` at the SAME ``j`` — i.e. upsampling is pure lane
+block-duplication (static slices + concat), and 3x3 conv taps become static
+lane slices with a roll+mask at the two phase-boundary blocks. No lane
+interleave ever happens (Mosaic cannot lower one); the single depth-to-space
+back to NHWC runs in XLA on the final small RGB tensor.
+
+Each kernel walks row panels with a 4-slot revolving buffer of manual HBM->
+VMEM DMAs: every R-row panel is fetched EXACTLY once (halo rows come from the
+neighboring resident panels; 3 panels resident + 1 in flight), double-buffered
+against compute. Per output row the 9 (or 8, for the fused upsample) conv taps
+are stacked into one tall ``[K, W]`` operand so the MXU runs a single large-K
+matmul instead of 9 [32,32]-sized dots (measured 3x faster than XLA's
+parity-grade NHWC chain at the 1024² final-stage shape;
+benchmarks/packed_conv_bench.py).
+
+Precision modes (matching models/pro_gan.py's MXU ladder):
+- "highest": fp32 operands, Precision.HIGHEST (6-pass; fp32-accurate)
+- "high":    bf16 hi/lo split WITH cross terms, stacked 3x in K
+             (hi*hi + hi*lo + lo*hi — 3-pass fp32 emulation; Mosaic's dot
+             only exposes DEFAULT/HIGHEST so the passes are materialized in
+             the K dimension)
+- "default": fp32 operands, Precision.DEFAULT (1 bf16 pass)
+
+The ops fused here are the reference-free north-star image family
+(SURVEY.md §0.2); the numerical contracts are models/pro_gan.py's
+eq_conv / lrelu / pixel_norm / upsample_nearest_2x / toRGB-blend chain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.2
+_PIXELNORM_EPS = 1e-8
+_NSLOT = 4  # revolver slots: 3 resident panels + 1 in flight
+
+VALID_MODES = ("highest", "high", "default")
+
+
+# ---------------------------------------------------------------------------
+# weight / operand K-stacking
+# ---------------------------------------------------------------------------
+
+def _hilo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def stack_weights(wk: jax.Array, mode: str) -> jax.Array:
+    """[K, Cout] fp32 -> kernel-side weight operand for ``mode``.
+
+    For "high", K triples: the dot pairs [w_hi; w_hi; w_lo] against
+    [x_hi; x_lo; x_hi], yielding hi*hi + hi*lo + lo*hi (3-pass fp32
+    emulation WITH cross terms — a naive [w_hi; w_lo] x [x_hi; x_lo]
+    K-stack computes only the diagonal terms, which is bf16-accurate)."""
+    if mode == "high":
+        hi, lo = _hilo(wk)
+        return jnp.concatenate([hi, hi, lo], axis=0)
+    return wk
+
+
+def _stack_x(x_all: jax.Array, mode: str) -> jax.Array:
+    if mode == "high":
+        hi, lo = _hilo(x_all)
+        return jnp.concatenate([hi, lo, hi], axis=0)
+    return x_all
+
+
+def _dot(wk: jax.Array, x_all: jax.Array, mode: str) -> jax.Array:
+    """[K*, Cout]ᵀ-style contraction: (wk, x_all[K, W]) -> [Cout, W] fp32."""
+    xk = _stack_x(x_all, mode)
+    precision = (
+        jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
+    )
+    return jax.lax.dot_general(
+        wk,
+        xk,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _act_norm(acc: jax.Array) -> jax.Array:
+    """LeakyReLU + PixelNorm over the channel axis 0 of [Cout, W]."""
+    acc = jnp.where(acc >= 0, acc, LRELU_SLOPE * acc)
+    return acc * jax.lax.rsqrt(
+        jnp.mean(acc * acc, axis=0, keepdims=True) + _PIXELNORM_EPS
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-kernel lane plumbing (phase-blocked columns)
+# ---------------------------------------------------------------------------
+
+def _roll(x: jax.Array, shift: int, interpret: bool) -> jax.Array:
+    w = x.shape[-1]
+    if interpret:  # pltpu.roll has no interpret-mode lowering
+        return jnp.roll(x, shift, axis=-1)
+    return pltpu.roll(x, shift % w, 1)
+
+
+def _shift_phase_minus(row: jax.Array, wp: int, interpret: bool) -> jax.Array:
+    """Align source phase-1 under each phase block: block psi of the result
+    holds input block psi-1; block 0 holds (P-1, j-1); lane 0 zeroed (SAME
+    padding at full-column u = -1)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+    shifted = _roll(row, wp, interpret)      # block psi <- psi-1
+    wrapped = _roll(row, wp + 1, interpret)  # block 0 <- (P-1, j-1)
+    out = jnp.where(lane < wp, wrapped, shifted)
+    return jnp.where(lane == 0, 0.0, out)
+
+
+def _shift_phase_plus(row: jax.Array, wp: int, interpret: bool) -> jax.Array:
+    """Source phase+1: block psi holds input block psi+1; last block holds
+    (0, j+1); last lane zeroed."""
+    w = row.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+    shifted = _roll(row, -wp, interpret)
+    wrapped = _roll(row, -(wp + 1), interpret)
+    out = jnp.where(lane >= w - wp, wrapped, shifted)
+    return jnp.where(lane == w - 1, 0.0, out)
+
+
+def _dup_blocks(row: jax.Array, p_in: int, wp: int) -> jax.Array:
+    """[*, P_in*Wp] -> [*, 2*P_in*Wp]: output block psi = input block psi//2
+    (the column half of a nearest-2x upsample in phase-blocked layout)."""
+    parts = []
+    for phi in range(p_in):
+        blk = row[..., phi * wp : (phi + 1) * wp]
+        parts.extend([blk, blk])
+    return jnp.concatenate(parts, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# revolver DMA scaffolding
+# ---------------------------------------------------------------------------
+
+def _revolver(x_hbm, buf, sems, b, j, npanels, r):
+    """Issue the revolving-buffer DMAs for (batch b, row-panel j); returns
+    ``get_row(g) -> [C, W]`` reading global row g from the resident panels
+    (zeros outside [0, H))."""
+
+    def dma(step):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(step * r, r), :],
+            buf.at[step % _NSLOT],
+            sems.at[step % _NSLOT],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        dma(0).start()
+        dma(1).start()
+
+    @pl.when(j + 2 < npanels)
+    def _():
+        dma(j + 2).start()
+
+    @pl.when(j == 0)
+    def _():
+        dma(0).wait()
+
+    @pl.when(j + 1 < npanels)
+    def _():
+        dma(j + 1).wait()
+
+    h = npanels * r
+
+    def get_row(g):
+        bidx = g - j * r  # in [-1, r]
+        slot_off = jnp.where(bidx < 0, -1, jnp.where(bidx >= r, 1, 0))
+        slot = (j + slot_off) % _NSLOT
+        row = bidx - slot_off * r
+        rowv = buf[pl.ds(slot, 1), :, pl.ds(row, 1), :][0, :, 0, :]
+        valid = jnp.logical_and(g >= 0, g < h)
+        return jnp.where(valid, rowv, 0.0)
+
+    return get_row
+
+
+def _conv_row(get_row, wk, g, wp, mode, interpret):
+    """One output row of conv3x3+bias prologue: returns pre-bias [Cout, W]."""
+    rows3 = jnp.concatenate(
+        [get_row(g - 1), get_row(g), get_row(g + 1)], axis=0
+    )  # [3C, W]
+    left = _shift_phase_minus(rows3, wp, interpret)
+    right = _shift_phase_plus(rows3, wp, interpret)
+    x_all = jnp.concatenate([left, rows3, right], axis=0)  # [9C, W]
+    return _dot(wk, x_all, mode)
+
+
+# ---------------------------------------------------------------------------
+# fused conv3x3 + bias + LeakyReLU + PixelNorm (phase-preserving)
+# ---------------------------------------------------------------------------
+
+def prep_conv_weights(w: jax.Array, mode: str) -> jax.Array:
+    """[3, 3, C, Cout] (already eq-LR scaled) -> K-stacked [(K*), Cout].
+    K order: (col-source: phase-1/phase/phase+1, row-tap, channel)."""
+    c, cout = w.shape[2], w.shape[3]
+    wk = jnp.transpose(w, (1, 0, 2, 3)).reshape(9 * c, cout)
+    return stack_weights(wk, mode)
+
+
+def packed_conv(
+    x: jax.Array,   # [B, C, H, P*Wp] phase-blocked fp32
+    w: jax.Array,   # [3, 3, C, Cout] eq-LR scaled fp32
+    b: jax.Array,   # [Cout]
+    p: int,
+    *,
+    mode: str = "high",
+    rows_per_step: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused SAME conv3x3 + bias + LeakyReLU + PixelNorm; phase-preserving."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    cout = w.shape[-1]
+    wp = wtot // p
+    r = rows_per_step
+    wk_host = prep_conv_weights(w, mode)
+
+    def kern(x_hbm, wk_ref, b_ref, out_ref, buf, sems):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
+
+        def row_body(t, _):
+            acc = _conv_row(get_row, wk_ref[:], j * r + t, wp, mode, interpret)
+            acc = _act_norm(acc + b_ref[0][:, None])
+            out_ref[0, :, pl.ds(t, 1), :] = acc[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, r, row_body, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, h, wtot), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cout, r, wtot), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * wtot * cin * cout,
+            bytes_accessed=4 * bsz * h * wtot * (cin + cout),
+            transcendentals=bsz * h * wtot,
+        ),
+        interpret=interpret,
+    )(x, wk_host, b.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# final-stage conv: conv + act + norm -> toRGB -> alpha blend; writes RGB only
+# ---------------------------------------------------------------------------
+
+def packed_conv_rgb(
+    x: jax.Array,         # [B, C, H, P*Wp] phase-blocked fp32
+    w: jax.Array,         # [3, 3, C, Cout] eq-LR scaled
+    b: jax.Array,         # [Cout]
+    rgb_w: jax.Array,     # [Cout, 3] eq-LR scaled toRGB (gain 1)
+    rgb_b: jax.Array,     # [3]
+    rgb_prev: jax.Array,  # [B, 8, H//2, (P//2)*Wp] toRGB of the stage input
+    alpha: jax.Array,     # scalar
+    p: int,
+    *,
+    mode: str = "high",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The final generator stage's tail, fused: conv2(+act+norm) -> toRGB ->
+    progressive alpha blend with the upsampled previous-stage RGB. The final
+    feature map is NEVER written to HBM — only the [B, 8(3), H, W] RGB.
+
+    ``rgb_prev`` rides at input resolution (half rows, half columns i.e. P//2
+    phase blocks) padded to 8 channels; row/column duplication happens in
+    VMEM. Blend: out = prev + alpha * (rgb - prev) (models/pro_gan.py
+    generator_rgb)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    cout = w.shape[-1]
+    wp = wtot // p
+    r = 16  # prev-rgb blocks are r//2 = 8 rows -> aligned
+    wk_host = prep_conv_weights(w, mode)
+    wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)  # [C*,8]
+    rgb_b8 = jnp.pad(rgb_b, (0, 5))
+    p_prev = p // 2
+
+    def kern(x_hbm, wk_ref, b_ref, wrgb_ref, brgb_ref, prev_ref, alpha_ref,
+             out_ref, buf, sems):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
+        a = alpha_ref[0, 0]
+
+        def row_body(t, _):
+            acc = _conv_row(get_row, wk_ref[:], j * r + t, wp, mode, interpret)
+            acc = _act_norm(acc + b_ref[0][:, None])
+            rgb = _dot(wrgb_ref[:], acc, mode) + brgb_ref[0][:, None]  # [8, W]
+            prev_row = prev_ref[0, :, pl.ds(t // 2, 1), :][:, 0, :]
+            prev = _dup_blocks(prev_row, p_prev, wp)  # [8, W]
+            out = prev + a * (rgb - prev)
+            out_ref[0, :, pl.ds(t, 1), :] = out[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, r, row_body, 0)
+
+    rgb8 = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, 8, h, wtot), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wrgb_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 8, r // 2, wtot // 2), lambda b, j: (b, 0, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, r, wtot), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * h * wtot * cin * (9 * cout + 8),
+            bytes_accessed=4 * bsz * h * wtot * (cin + 8),
+            transcendentals=bsz * h * wtot,
+        ),
+        interpret=interpret,
+    )(
+        x, wk_host, b.reshape(1, -1), wrgb_host, rgb_b8.reshape(1, -1),
+        rgb_prev, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+    )
+    return rgb8[:, :3]
+
+
+# ---------------------------------------------------------------------------
+# fused upsample2x -> conv3x3 + bias + LeakyReLU + PixelNorm
+# ---------------------------------------------------------------------------
+
+def prep_upconv_weights(w: jax.Array, mode: str) -> jax.Array:
+    """[3, 3, C, Cout] -> [2, (8C)*, Cout]: per output-row parity p, the
+    K-stacked masked-phase weights.
+
+    Row parity p=0 consumes input rows (i-1, i) with row kernels
+    (w[0], w[1]+w[2]); p=1 consumes (i, i+1) with (w[0]+w[1], w[2]).
+    Column parity is folded into lane masks on the operand: K blocks are
+    (rowA, rowB) x (xL*even, xC*even, xC*odd, xR*odd) against col kernels
+    (Kc0, Kc1+Kc2, Kc0+Kc1, Kc2) — the subpixel decomposition of
+    ops/fused_upconv.py evaluated in phase-blocked lanes."""
+    c, cout = w.shape[2], w.shape[3]
+    rowk = [
+        (w[0], w[1] + w[2]),  # p = 0: input rows (i-1, i)
+        (w[0] + w[1], w[2]),  # p = 1: input rows (i, i+1)
+    ]
+
+    def colk(rk):  # rk: [3(dw), C, Cout] -> col-presummed kernels
+        return (rk[0], rk[1] + rk[2], rk[0] + rk[1], rk[2])
+
+    out = []
+    for p in range(2):
+        ka, kb = (colk(rk) for rk in rowk[p])
+        # K order is col-source MAJOR, row-tap minor — matching the kernel's
+        # operand concat([xl*e, xc*e, xc*o, xr*o]) where each entry is the
+        # [rowA(C); rowB(C)] stack.
+        blocks = [ka[0], kb[0], ka[1], kb[1], ka[2], kb[2], ka[3], kb[3]]
+        wk = jnp.concatenate(blocks, axis=0)  # [8C, Cout]
+        out.append(stack_weights(wk, mode))
+    return jnp.stack(out, axis=0)
+
+
+def packed_upconv(
+    x: jax.Array,   # [B, C, H, P_in*Wp] phase-blocked fp32
+    w: jax.Array,   # [3, 3, C, Cout] eq-LR scaled
+    b: jax.Array,   # [Cout]
+    p_in: int,
+    *,
+    mode: str = "high",
+    rows_per_step: int = 8,
+    interpret: bool | None = None,
+    rgb_w: jax.Array | None = None,  # [C, 3] eq-LR toRGB of the INPUT
+    rgb_b: jax.Array | None = None,  # [3]
+) -> jax.Array | tuple[jax.Array, jax.Array]:
+    """Fused nearest-2x upsample + conv3x3 + bias + LeakyReLU + PixelNorm:
+    [B, C, H, P_in*Wp] -> [B, Cout, 2H, (2*P_in)*Wp].
+
+    With ``rgb_w`` given, additionally emits toRGB(input) at input
+    resolution, 8-channel padded — the ``rgb_prev`` operand of
+    ``packed_conv_rgb`` for free (the input rows are already in VMEM)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    cout = w.shape[-1]
+    wp = wtot // p_in
+    r = rows_per_step
+    wk_host = prep_upconv_weights(w, mode)
+    emit_rgb = rgb_w is not None
+    if emit_rgb:
+        wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)
+        rgb_b8 = jnp.pad(rgb_b, (0, 5))
+
+    def kern(*refs):
+        if emit_rgb:
+            (x_hbm, wk_ref, b_ref, wrgb_ref, brgb_ref,
+             out_ref, rgbout_ref, buf, sems) = refs
+        else:
+            x_hbm, wk_ref, b_ref, out_ref, buf, sems = refs
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
+        w_out = 2 * wtot
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * cin, w_out), 1)
+        even_blk = (lane // wp) % 2 == 0
+
+        def row_body(t, _):
+            i = j * r + t  # input row
+            rm1, r0, rp1 = get_row(i - 1), get_row(i), get_row(i + 1)
+            if emit_rgb:
+                val = _dot(wrgb_ref[:], r0, mode) + brgb_ref[0][:, None]
+                rgbout_ref[0, :, pl.ds(t, 1), :] = val[:, None, :]
+            for p in range(2):  # output rows 2i+p
+                rows2 = jnp.concatenate(
+                    [rm1, r0] if p == 0 else [r0, rp1], axis=0
+                )  # [2C, W_in]
+                xl = _dup_blocks(
+                    _shift_phase_minus(rows2, wp, interpret), p_in, wp
+                )
+                xc = _dup_blocks(rows2, p_in, wp)
+                xr = _dup_blocks(
+                    _shift_phase_plus(rows2, wp, interpret), p_in, wp
+                )
+                x_all = jnp.concatenate(
+                    [
+                        jnp.where(even_blk, xl, 0.0),
+                        jnp.where(even_blk, xc, 0.0),
+                        jnp.where(even_blk, 0.0, xc),
+                        jnp.where(even_blk, 0.0, xr),
+                    ],
+                    axis=0,
+                )  # [8C, W_out]
+                acc = _act_norm(
+                    _dot(wk_ref[p], x_all, mode) + b_ref[0][:, None]
+                )
+                out_ref[0, :, pl.ds(2 * t + p, 1), :] = acc[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, r, row_body, 0)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cout), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, wk_host, b.reshape(1, -1)]
+    out_shapes = [jax.ShapeDtypeStruct((bsz, cout, 2 * h, 2 * wtot), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, cout, 2 * r, 2 * wtot), lambda b, j: (b, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if emit_rgb:
+        in_specs.append(
+            pl.BlockSpec(wrgb_host.shape, lambda b, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, 8), lambda b, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.extend([wrgb_host, rgb_b8.reshape(1, -1)])
+        out_shapes.append(jax.ShapeDtypeStruct((bsz, 8, h, wtot), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 8, r, wtot), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    result = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shapes) if emit_rgb else out_shapes[0],
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs) if emit_rgb else out_specs[0],
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * bsz * h * (2 * wtot) * 2 * cin * cout,
+            bytes_accessed=4 * bsz * h * wtot * (cin + 4 * cout),
+            transcendentals=bsz * h * wtot * 4,
+        ),
+        interpret=interpret,
+    )(*args)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# XLA-side layout conversion
+# ---------------------------------------------------------------------------
+
+def nhwc_to_packed(x: jax.Array) -> jax.Array:
+    """[B, H, W, C] -> [B, C, H, W] (phase-blocked with P=1)."""
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def packed_rgb_to_nhwc(rgb: jax.Array, p: int) -> jax.Array:
+    """[B, 3, H, P*Wp] phase-blocked -> [B, H, W, 3] (full column
+    u = P*j + psi lives at lane psi*Wp + j)."""
+    bsz, c, h, wtot = rgb.shape
+    wp = wtot // p
+    x = rgb.reshape(bsz, c, h, p, wp)
+    x = jnp.transpose(x, (0, 2, 4, 3, 1))  # [B, H, Wp, P, 3]
+    return x.reshape(bsz, h, wp * p, c)

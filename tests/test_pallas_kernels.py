@@ -70,31 +70,3 @@ def test_to_uint8_fused_fallback():
     assert not pallas_image.supports(x.shape)
     out = pallas_image.to_uint8_fused(x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pro_gan.to_uint8(x)))
-
-
-def test_packed_conv_block_matches_xla():
-    """Experimental packed-layout fused conv block (round-2 perf lever):
-    parity vs the XLA NHWC chain."""
-    from probgan_tpu.ops.pallas_packed_conv import nhwc_reference, packed_conv_block
-
-    key = jax.random.key(0)
-    kx, kw, kb = jax.random.split(key, 3)
-    h, c, w_, cout = 16, 8, 128, 16
-    x = jax.random.normal(kx, (h, c, w_), jnp.float32)
-    w = jax.random.normal(kw, (3, 3, c, cout), jnp.float32) * 0.1
-    b = jax.random.normal(kb, (cout,), jnp.float32)
-
-    fused = packed_conv_block(x, w, b, interpret=INTERPRET)
-    ref = nhwc_reference(x, w, b)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
-
-
-def test_packed_conv_block_batched_via_vmap():
-    from probgan_tpu.ops.pallas_packed_conv import nhwc_reference, packed_conv_block
-
-    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 128), jnp.float32)
-    w = jax.random.normal(jax.random.key(2), (3, 3, 8, 8), jnp.float32) * 0.1
-    b = jnp.zeros((8,), jnp.float32)
-    fused = jax.vmap(lambda xi: packed_conv_block(xi, w, b, interpret=INTERPRET))(x)
-    ref = jax.vmap(lambda xi: nhwc_reference(xi, w, b))(x)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)

@@ -1,0 +1,224 @@
+"""Parity tests for the phase-blocked packed late-stage kernels
+(ops/pallas_packed.py) against the XLA NHWC op chain, in interpret mode.
+
+The phase-blocked layout stores full column u = P*j + psi at lane
+psi*Wp + j; these tests round-trip that mapping and check conv / upconv /
+final-rgb-blend kernels bit-near the models/pro_gan.py reference ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probgan_tpu.models import pro_gan
+from probgan_tpu.ops import pallas_packed as pk
+
+
+def phase_block(x_nhwc: np.ndarray, p: int) -> np.ndarray:
+    """[B, H, W, C] -> [B, C, H, P*Wp] phase-blocked."""
+    b, h, w, c = x_nhwc.shape
+    wp = w // p
+    out = np.empty((b, c, h, w), x_nhwc.dtype)
+    for psi in range(p):
+        # full columns psi, psi+P, ... -> lanes [psi*wp, (psi+1)*wp)
+        out[:, :, :, psi * wp : (psi + 1) * wp] = np.transpose(
+            x_nhwc[:, :, psi::p, :], (0, 3, 1, 2)
+        )
+    return out
+
+
+def unphase(x_pk: np.ndarray, p: int) -> np.ndarray:
+    """[B, C, H, P*Wp] -> [B, H, W, C]."""
+    return np.asarray(pk.packed_rgb_to_nhwc(jnp.asarray(x_pk), p))
+
+
+def ref_conv(x_nhwc, w, b):
+    y = jax.lax.conv_general_dilated(
+        x_nhwc, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b
+    return pro_gan.pixel_norm(pro_gan.lrelu(y))
+
+
+def _rand(shape, seed, scale=1.0):
+    return (np.random.RandomState(seed).standard_normal(shape) * scale).astype(
+        np.float32
+    )
+
+
+@pytest.mark.parametrize("p", [1, 2, 4])
+def test_packed_conv_parity(p):
+    b, c, cout, h, w = 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 0)
+    wgt = _rand((3, 3, c, cout), 1, 0.2)
+    bias = _rand((cout,), 2)
+    want = np.asarray(jax.jit(ref_conv)(x, wgt, bias))
+    got_pk = pk.packed_conv(
+        jnp.asarray(phase_block(x, p)), jnp.asarray(wgt), jnp.asarray(bias), p,
+        mode="highest", interpret=True,
+    )
+    got = unphase(np.asarray(got_pk), p)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_conv_round_trip_layout():
+    x = _rand((1, 4, 8, 3), 3)
+    assert np.allclose(unphase(phase_block(x, 2), 2), x)
+    assert np.allclose(unphase(phase_block(x, 4), 4), x)
+
+
+@pytest.mark.parametrize("p_in", [1, 2])
+def test_packed_upconv_parity(p_in):
+    b, c, cout, h, w = 2, 8, 4, 8, 16
+    x = _rand((b, h, w, c), 4)
+    wgt = _rand((3, 3, c, cout), 5, 0.2)
+    bias = _rand((cout,), 6)
+
+    def ref(x, wgt, bias):
+        return ref_conv(pro_gan.upsample_nearest_2x(x), wgt, bias)
+
+    want = np.asarray(jax.jit(ref)(x, wgt, bias))
+    got_pk = pk.packed_upconv(
+        jnp.asarray(phase_block(x, p_in)), jnp.asarray(wgt), jnp.asarray(bias),
+        p_in, mode="highest", rows_per_step=4, interpret=True,
+    )
+    got = unphase(np.asarray(got_pk), 2 * p_in)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_upconv_emits_input_rgb():
+    b, c, cout, h, w = 1, 8, 4, 8, 16
+    x = _rand((b, h, w, c), 7)
+    wgt = _rand((3, 3, c, cout), 8, 0.2)
+    bias = _rand((cout,), 9)
+    rgb_w = _rand((c, 3), 10, 0.3)
+    rgb_b = _rand((3,), 11)
+    feats, rgb8 = pk.packed_upconv(
+        jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt), jnp.asarray(bias), 2,
+        mode="highest", rows_per_step=4, interpret=True,
+        rgb_w=jnp.asarray(rgb_w), rgb_b=jnp.asarray(rgb_b),
+    )
+    want_rgb = x @ rgb_w + rgb_b  # 1x1 conv on the raw input
+    got_rgb = unphase(np.asarray(rgb8), 2)[..., :3]
+    np.testing.assert_allclose(got_rgb, want_rgb, rtol=2e-5, atol=2e-5)
+    # features must be identical to the rgb-less variant
+    feats_only = pk.packed_upconv(
+        jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt), jnp.asarray(bias), 2,
+        mode="highest", rows_per_step=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats_only))
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.3])
+def test_packed_conv_rgb_blend_parity(alpha):
+    b, c, cout, h, w = 1, 8, 8, 32, 64  # h mult of 16 (fixed r)
+    p = 4
+    x = _rand((b, h, w, c), 12)
+    wgt = _rand((3, 3, c, cout), 13, 0.2)
+    bias = _rand((cout,), 14)
+    rgb_w = _rand((cout, 3), 15, 0.3)
+    rgb_b = _rand((3,), 16)
+    prev_nhwc = _rand((b, h // 2, w // 2, 3), 17)
+
+    def ref(x, wgt, bias):
+        feat = ref_conv(x, wgt, bias)
+        rgb = feat @ rgb_w + rgb_b
+        prev_up = pro_gan.upsample_nearest_2x(prev_nhwc)
+        return prev_up + alpha * (rgb - prev_up)
+
+    want = np.asarray(jax.jit(ref)(x, jnp.asarray(wgt), jnp.asarray(bias)))
+    prev_pk = phase_block(np.pad(prev_nhwc, ((0, 0), (0, 0), (0, 0), (0, 5))),
+                          p // 2)
+    got_pk = pk.packed_conv_rgb(
+        jnp.asarray(phase_block(x, p)), jnp.asarray(wgt), jnp.asarray(bias),
+        jnp.asarray(rgb_w), jnp.asarray(rgb_b), jnp.asarray(prev_pk),
+        jnp.float32(alpha), p, mode="highest", interpret=True,
+    )
+    got = unphase(np.asarray(got_pk), p)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_high_mode_conv_parity():
+    """The split-3 "high" mode kernel stays within parity-grade error of the
+    fp32 reference (on CPU the underlying dot is exact, so this checks the
+    hi/lo decomposition plumbing end-to-end through the kernel)."""
+    b, c, cout, h, w = 1, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 20)
+    wgt = _rand((3, 3, c, cout), 21, 0.2)
+    bias = _rand((cout,), 22)
+    want = np.asarray(jax.jit(ref_conv)(x, wgt, bias))
+    got = unphase(
+        np.asarray(
+            pk.packed_conv(
+                jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt),
+                jnp.asarray(bias), 2, mode="high", interpret=True,
+            )
+        ),
+        2,
+    )
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_hilo_split_has_cross_terms():
+    """The 3-term K-stacking (w: [hi; hi; lo] vs x: [hi; lo; hi]) must
+    reconstruct the fp32 product to ~fp32 accuracy — a diagonal-only 2-term
+    stack is bf16-grade and would fail this bound."""
+    rng = np.random.RandomState(30)
+    wk = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    want = np.asarray(
+        jax.lax.dot_general(
+            wk, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    wk3 = np.asarray(pk.stack_weights(wk, "high"), np.float32)
+    x3 = np.asarray(pk._stack_x(x, "high"), np.float32)
+    got = wk3.T @ x3
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-5  # 3-term split drops lo*lo: ~bf16^2 relative error
+
+    # diagonal-only 2-term stack (the wrong construction) is much worse
+    whi, wlo = pk._hilo(wk)
+    xhi, xlo = pk._hilo(x)
+    diag = (
+        np.asarray(whi, np.float32).T @ np.asarray(xhi, np.float32)
+        + np.asarray(wlo, np.float32).T @ np.asarray(xlo, np.float32)
+    )
+    rel_diag = np.abs(diag - want).max() / np.abs(want).max()
+    assert rel_diag > 100 * rel
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.5])
+def test_generator_packed_end_to_end(alpha):
+    """generator_rgb(packed=True) must match the XLA path through the real
+    generator at a 512² config where the packed gate engages (stages 6-7)."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    assert pro_gan.packed_start_stage(cfg, stage) == 6
+    params = pro_gan.init_generator(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (2, cfg.latent_dim), jnp.float32)
+    want = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, alpha,
+                              precision="highest")
+    )
+    got = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, alpha,
+                              precision="highest", packed=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_gate_rejects_small_configs():
+    cfg = pro_gan.ProGANConfig(resolution=64, latent_dim=16, fmap_base=64,
+                               fmap_max=32)
+    assert pro_gan.packed_start_stage(cfg, cfg.num_stages - 1) is None
+    # and packed=True on an ineligible config silently uses the XLA path
+    params = pro_gan.init_generator(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (1, cfg.latent_dim), jnp.float32)
+    a = np.asarray(pro_gan.generator_rgb(params, z, cfg, cfg.num_stages - 1))
+    b = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, cfg.num_stages - 1, packed=True)
+    )
+    np.testing.assert_array_equal(a, b)
