@@ -84,47 +84,60 @@ def main() -> None:
 
     # Chain several query batches per device call so the host<->device RPC
     # round trip (~34 ms through this environment's relay) amortizes.
-    chain = int(os.environ.get("PROBGAN_BENCH_CHAIN", "16"))
+    chain = int(os.environ.get("PROBGAN_BENCH_CHAIN", "48"))
     hc = h.reshape(1, b, d).repeat(chain, 0) + jnp.arange(chain)[:, None, None] * 0.01
     rc = r.reshape(1, b, d).repeat(chain, 0)
     zc = z.reshape(1, b, z_dim).repeat(chain, 0)
 
-    @jax.jit
-    def rank_checksum(g_params, hc, rc, zc, table_norm):
-        def step(acc, inputs):
-            hh, rr, zz = inputs
-            pred = kg_gan.generator_apply(g_params, hh, rr, zz)
-            scores = _rank_scores(pred, table_norm, n, use_pallas)
-            v, i = jax.lax.top_k(scores, args.top_k)
-            return acc + jnp.sum(i) + jnp.sum(v).astype(jnp.int32), None
+    from probgan_tpu.engine.inference import _rank_topk
 
-        acc, _ = jax.lax.scan(step, jnp.int32(0), (hc, rc, zc))
-        return acc
+    def make_checksum(fused: bool):
+        @jax.jit
+        def rank_checksum(g_params, hc, rc, zc, table_norm):
+            def step(acc, inputs):
+                hh, rr, zz = inputs
+                pred = kg_gan.generator_apply(g_params, hh, rr, zz)
+                if fused:
+                    v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas)
+                else:
+                    scores = _rank_scores(pred, table_norm, n, use_pallas)
+                    v, i = jax.lax.top_k(scores, args.top_k)
+                return acc + jnp.sum(i) + jnp.sum(v).astype(jnp.int32), None
 
-    log("compiling...")
-    t0 = time.perf_counter()
-    float(rank_checksum(g_params, hc, rc, zc, table_norm))
-    log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
-    float(rank_checksum(g_params, hc, rc, zc, table_norm))
+            acc, _ = jax.lax.scan(step, jnp.int32(0), (hc, rc, zc))
+            return acc
 
-    iters, t0 = 0, time.perf_counter()
-    while time.perf_counter() - t0 < args.seconds:
-        float(rank_checksum(g_params, hc, rc, zc, table_norm))
-        iters += 1
-    elapsed = time.perf_counter() - t0
-    qps = iters * chain * b / elapsed
-    # Table bytes read per ranking pass (the dominant traffic).
-    gbps = iters * chain * n_pad * d * 4 / elapsed / 1e9
+        return rank_checksum
 
-    print(json.dumps({
-        "metric": f"predict_tails_queries_per_sec_N{n}",
-        "value": round(qps, 1),
-        "unit": "queries/sec",
-        "batch": b,
-        "top_k": args.top_k,
-        "effective_table_read_GBps": round(gbps, 1),
-        "pallas": use_pallas,
-    }))
+    def run(tag: str, fused: bool):
+        fn = make_checksum(fused)
+        log(f"compiling {tag}...")
+        t0 = time.perf_counter()
+        float(fn(g_params, hc, rc, zc, table_norm))
+        log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
+        float(fn(g_params, hc, rc, zc, table_norm))
+        iters, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < args.seconds:
+            float(fn(g_params, hc, rc, zc, table_norm))
+            iters += 1
+        elapsed = time.perf_counter() - t0
+        qps = iters * chain * b / elapsed
+        # Table bytes read per ranking pass (the dominant traffic).
+        gbps = iters * chain * n_pad * d * 4 / elapsed / 1e9
+        print(json.dumps({
+            "metric": f"predict_tails_queries_per_sec_N{n}",
+            "path": tag,
+            "value": round(qps, 1),
+            "unit": "queries/sec",
+            "batch": b,
+            "top_k": args.top_k,
+            "effective_table_read_GBps": round(gbps, 1),
+            "pallas": use_pallas,
+        }), flush=True)
+
+    # fused rank+top-k (the production path) vs the two-step score + lax.top_k
+    run("fused_rank_topk", True)
+    run("score_then_topk", False)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,22 @@ def _rank_scores(pred: jax.Array, entity_norm_padded: jax.Array, num_entities: i
     return scores[:, :num_entities]
 
 
+def _rank_topk(pred: jax.Array, entity_norm_padded: jax.Array, k: int,
+               num_entities: int, use_pallas: bool):
+    """Fused rank + top-k when the Pallas gate allows (the [B, N] score
+    matrix never touches HBM and the XLA full-sort over N collapses to a
+    candidate merge — ops/pallas_rank.rank_topk_fused); otherwise the
+    two-step score + lax.top_k path. Bit-identical results either way."""
+    if use_pallas and pallas_rank.supports_topk(
+        pred.shape, entity_norm_padded.shape[0], k
+    ):
+        return pallas_rank.rank_topk_fused(
+            pred, entity_norm_padded, k, num_entities
+        )
+    scores = _rank_scores(pred, entity_norm_padded, num_entities, use_pallas)
+    return jax.lax.top_k(scores, k)
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     """Next power-of-two batch bucket (static shapes for jit)."""
     b = minimum
@@ -96,8 +112,7 @@ def _predict_tails_fn(
     h = node_emb[heads]
     r = rel_table[rels]
     pred = kg_gan.generator_apply(g_params, h, r, z)
-    scores = _rank_scores(pred, entity_norm, num_entities, use_pallas)
-    return jax.lax.top_k(scores, top_k)
+    return _rank_topk(pred, entity_norm, top_k, num_entities, use_pallas)
 
 
 @jax.jit
@@ -123,8 +138,7 @@ def _similar_entities_fn(entity_norm, queries, k_query, num_entities, use_pallas
     query itself (pro_b_gan_infer.py:231-236; clamped so top_k >= N is a
     legal request rather than a crash)."""
     q = entity_norm[queries]
-    scores = _rank_scores(q, entity_norm, num_entities, use_pallas)
-    return jax.lax.top_k(scores, k_query)
+    return _rank_topk(q, entity_norm, k_query, num_entities, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_relations"))

@@ -73,6 +73,129 @@ def _rank_scores_pallas(pred: jax.Array, table_norm: jax.Array, interpret: bool 
     )(pred, table_norm)
 
 
+def _rank_topk_kernel(pred_ref, table_ref, val_ref, idx_ref, *, k, tile_n,
+                      num_entities):
+    """One N tile: fused normalize + matmul + per-tile top-k extraction.
+    Emits the tile's k best (values, GLOBAL indices) per query row — the
+    [B, N] score matrix never exists in HBM, and the XLA full-sort top_k
+    over N collapses to a tiny merge over n_tiles*k candidates."""
+    j = pl.program_id(0)
+    p = pred_ref[:]  # [B, D]
+    norm = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
+    pn = p / jnp.maximum(norm, _NORM_EPS)
+    s = jax.lax.dot_general(
+        pn,
+        table_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, TILE_N]
+    b = s.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    gidx = lane + j * tile_n
+    # Mask table padding rows (their score is exactly 0, which would beat
+    # genuinely negative cosines).
+    s = jnp.where(gidx < num_entities, s, -jnp.inf)
+    vals, idxs = [], []
+    for _ in range(k):
+        m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
+        # argmax with lax.top_k's tie-break: lowest index among ties
+        at = jnp.min(jnp.where(s == m, lane, tile_n), axis=1, keepdims=True)
+        vals.append(m)
+        idxs.append(at + j * tile_n)
+        s = jnp.where(lane == at, -jnp.inf, s)
+    # Candidate lanes are padded to 128 (Mosaic block-shape constraint);
+    # the -inf fillers are never selected by the merge.
+    vals.append(jnp.full((b, 128 - k), -jnp.inf, jnp.float32))
+    idxs.append(jnp.zeros((b, 128 - k), jnp.int32))
+    val_ref[0] = jnp.concatenate(vals, axis=1)
+    idx_ref[0] = jnp.concatenate(idxs, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "num_entities", "interpret")
+)
+def _rank_topk_pallas(pred, table_norm, k, num_entities, interpret=False):
+    b, d = pred.shape
+    n = table_norm.shape[0]
+    nt = n // _TILE_N
+    kern = functools.partial(
+        _rank_topk_kernel, k=k, tile_n=_TILE_N, num_entities=num_entities
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            # [nt, B, 128]: the tiled (minor two) dims must be 8/128-aligned,
+            # which (B, 128) is and (nt, k) is not.
+            jax.ShapeDtypeStruct((nt, b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nt, b, 128), jnp.int32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_TILE_N, d), lambda j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=4 * (b * d + n * d + 2 * b * nt * k),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pred, table_norm)
+
+
+def supports_topk(pred_shape: tuple[int, int], n: int, k: int) -> bool:
+    """Fused rank+top-k gate: rank-kernel tiling constraints plus a small-k
+    bound (per-tile extraction is k iterations of max+mask)."""
+    return supports(pred_shape, n) and 1 <= k <= 16
+
+
+def rank_topk_fused(
+    pred: jax.Array,
+    table_norm: jax.Array,
+    k: int,
+    num_entities: int,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """[B, D] raw predictions x [N_pad, D] pre-normalized (zero-padded) table
+    -> (top-k values [B, k], top-k entity ids [B, k]), bit-matching
+    ``lax.top_k(scores[:, :num_entities], k)`` of the two-step path
+    (including its lowest-index tie-break).
+
+    The [B, N] score matrix never touches HBM: each kernel grid step reads
+    one table tile and emits k candidates; the final merge ranks the
+    [B, n_tiles*k] candidate pool (candidates are ordered (tile, desc-value/
+    asc-index), so equal values resolve to the lowest global index exactly
+    like lax.top_k). Falls back to score + lax.top_k off-gate."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = pred.shape[0]
+    if not supports_topk(pred.shape, table_norm.shape[0], k):
+        scores = rank_ops.cosine_scores(
+            rank_ops.l2_normalize(pred), table_norm
+        )[:, :num_entities]
+        return jax.lax.top_k(scores, k)
+    cand_v, cand_i = _rank_topk_pallas(
+        pred, table_norm, k, num_entities, interpret=interpret
+    )
+    nt = cand_v.shape[0]
+    cv = jnp.transpose(cand_v, (1, 0, 2)).reshape(b, nt * 128)
+    ci = jnp.transpose(cand_i, (1, 0, 2)).reshape(b, nt * 128)
+    v, pos = jax.lax.top_k(cv, k)
+    i = jnp.take_along_axis(ci, pos, axis=1)
+    return v, i
+
+
 def supports(pred_shape: tuple[int, int], n: int) -> bool:
     """Tiling gate: batch a multiple of the fp32 sublane count and small
     enough to stay VMEM-resident; table a multiple of the N tile; feature dim

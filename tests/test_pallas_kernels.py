@@ -70,3 +70,61 @@ def test_to_uint8_fused_fallback():
     assert not pallas_image.supports(x.shape)
     out = pallas_image.to_uint8_fused(x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pro_gan.to_uint8(x)))
+
+
+def test_rank_topk_fused_matches_lax_topk():
+    """Fused rank+top-k must bit-match top_k(scores[:, :N]) of the two-step
+    path, including zero-padded table rows being excluded."""
+    pred = jax.random.normal(jax.random.key(10), (16, 128), dtype=jnp.float32)
+    n = 4000  # true entity count; padded to 2 tiles of 2048
+    n_pad = 4096
+    table = jax.random.normal(jax.random.key(11), (n_pad, 128), jnp.float32)
+    table_norm = np.array(rank_ops.l2_normalize(table))
+    table_norm[n:] = 0.0
+    table_norm = jnp.asarray(table_norm)
+
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores[:, :n], 10)
+    got_v, got_i = pallas_rank.rank_topk_fused(
+        pred, table_norm, 10, n, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=2e-6)
+
+
+def test_rank_topk_fused_tie_break_lowest_index():
+    """Duplicate table rows produce exactly-equal scores; the fused path must
+    resolve ties to the lowest entity id like lax.top_k — including ties that
+    span tile boundaries."""
+    d = 128
+    base = np.array(
+        jax.random.normal(jax.random.key(12), (4096, d), jnp.float32)
+    )
+    # rows 5, 2047, 2048, 3000 identical (crosses the 2048 tile boundary)
+    for dup in (2047, 2048, 3000):
+        base[dup] = base[5]
+    table_norm = jnp.asarray(
+        base / np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+    )
+    pred = jnp.asarray(base[5:6] + 0.0)  # query = the duplicated row, B=8 pad
+    pred = jnp.tile(pred, (8, 1))
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores, 6)
+    got_v, got_i = pallas_rank.rank_topk_fused(
+        pred, table_norm, 6, 4096, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    assert set(np.asarray(got_i)[0][:4].tolist()) == {5, 2047, 2048, 3000}
+
+
+def test_rank_topk_fused_fallback_off_gate():
+    """k > 16 or unaligned shapes fall back to score + lax.top_k."""
+    pred = jax.random.normal(jax.random.key(13), (3, 64), dtype=jnp.float32)
+    table_norm = rank_ops.l2_normalize(
+        jax.random.normal(jax.random.key(14), (100, 64), jnp.float32)
+    )
+    assert not pallas_rank.supports_topk(pred.shape, 100, 10)
+    got_v, got_i = pallas_rank.rank_topk_fused(pred, table_norm, 10, 100)
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores, 10)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
