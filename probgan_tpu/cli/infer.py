@@ -116,6 +116,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="If set, capture a jax.profiler trace of the task into this dir",
     )
+    parser.add_argument(
+        "--mesh",
+        type=str,
+        default="",
+        help="Multi-device mesh: 'auto' (all attached devices) or a device "
+        "count. predict_tails/similar_entities rank against the entity "
+        "table sharded over the mesh's model axis; generate_images runs "
+        "data-parallel. Results are identical to single-device.",
+    )
     return parser
 
 
@@ -132,7 +141,7 @@ def run_generate_images(args: argparse.Namespace):
     config, g_params, d_params = load_image_checkpoint(args.checkpoint_path)
     engine = ImageGANEngine(
         config, g_params=g_params, d_params=d_params or None,
-        device=args.device, seed=args.seed,
+        device=args.device, seed=args.seed, mesh=args.mesh,
     )
     stage = engine.final_stage if args.stage < 0 else args.stage
     print(
@@ -221,7 +230,9 @@ def main(argv: list[str] | None = None) -> None:
                 print(json.dumps(results, indent=2))
         return
 
-    engine = InferenceEngine(args.checkpoint_path, args.device, seed=args.seed)
+    engine = InferenceEngine(
+        args.checkpoint_path, args.device, seed=args.seed, mesh=args.mesh
+    )
 
     if args.task == "interactive":
         interactive_mode(engine)

@@ -137,9 +137,16 @@ class ImageGANEngine:
         seed: int = 0,
         dtype=jnp.float32,
         use_pallas: bool | None = None,
+        mesh=None,
     ):
+        """``mesh``: None/""/1 single-device; "auto"/int/Mesh — generation
+        runs data-parallel over all mesh devices (parallel/sharded_image.py),
+        latents sharded, params replicated."""
+        from probgan_tpu.parallel.mesh import resolve_mesh
+
         self.config = config
         self.device = resolve_device(device)
+        self.mesh = resolve_mesh(mesh)
         self.dtype = dtype
         if use_pallas is None:
             import os
@@ -177,6 +184,21 @@ class ImageGANEngine:
     def generate(self, latents, stage: int | None = None, alpha: float = 1.0) -> np.ndarray:
         if stage is None:
             stage = self.final_stage
+        if self.mesh is not None:
+            from probgan_tpu.parallel.sharded_image import dp_generate
+
+            z = jnp.asarray(latents, jnp.float32)
+            n_dev = self.mesh.devices.size
+            pad = (-z.shape[0]) % n_dev
+            n = z.shape[0]
+            if pad:  # data-parallel sharding needs an even split
+                z = jnp.pad(z, ((0, pad), (0, 0)))
+            with task_trace("generate_images"):
+                img = dp_generate(
+                    self.mesh, self.g_params, z, self.config, stage, alpha,
+                    self.dtype, packed=self.packed,
+                )
+                return np.asarray(jax.device_get(img))[:n]
         z = jax.device_put(jnp.asarray(latents, jnp.float32), self.device)
         with task_trace("generate_images"):
             img = generate_fn(

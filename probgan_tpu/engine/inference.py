@@ -115,6 +115,41 @@ def _predict_tails_fn(
     return _rank_topk(pred, entity_norm, top_k, num_entities, use_pallas)
 
 
+@partial(jax.jit, static_argnames=("top_k", "num_entities", "mesh"))
+def _predict_tails_sharded_fn(
+    g_params, node_emb, table_sharded, rel_table, heads, rels, z, top_k,
+    num_entities, mesh,
+):
+    """Tensor-parallel predict_tails: the normalized entity table is
+    row-sharded over the mesh's ``model`` axis; per-shard rank + top-k merge
+    over ICI (parallel/sharded_rank.py). Bit-identical to the single-device
+    jnp path (same HIGHEST matmul, same tie-break)."""
+    from probgan_tpu.parallel.sharded_rank import sharded_rank_topk
+
+    h = node_emb[heads]
+    r = rel_table[rels]
+    pred = kg_gan.generator_apply(g_params, h, r, z)
+    return sharded_rank_topk(
+        rank_ops.l2_normalize(pred), table_sharded, top_k, mesh,
+        num_entities=num_entities,
+    )
+
+
+@partial(jax.jit, static_argnames=("k_query", "num_entities", "mesh"))
+def _similar_entities_sharded_fn(
+    entity_norm, table_sharded, queries, k_query, num_entities, mesh
+):
+    from probgan_tpu.parallel.sharded_rank import sharded_rank_topk
+
+    # Gather query rows from the SAME cached normalized table the
+    # single-device path uses, and re-normalize exactly like _rank_scores
+    # does — any numerical difference breaks 1-vs-N bit-identity.
+    q = rank_ops.l2_normalize(entity_norm[queries])
+    return sharded_rank_topk(
+        q, table_sharded, k_query, mesh, num_entities=num_entities
+    )
+
+
 @jax.jit
 def _generator_scores_fn(g_params, node_emb, rel_table, triplets, z):
     """Generator-based triplet scoring: cosine(G(h,r), t)
@@ -197,10 +232,17 @@ class InferenceEngine:
         device: str = "auto",
         seed: int = 0,
         use_pallas: bool | None = None,
+        mesh=None,
     ):
+        """``mesh``: None/""/1 for single-device; "auto" for a mesh over all
+        attached devices; an int device count; or a prebuilt
+        jax.sharding.Mesh. With a mesh, predict_tails/similar_entities rank
+        against the entity table row-sharded over the ``model`` axis
+        (SURVEY.md §2.2 TP row) with results bit-identical to single-device."""
         self.device = resolve_device(device)
         self.checkpoint_path = checkpoint_path
         self._rng = RngStream(seed)
+        self.mesh = self._resolve_mesh(mesh)
         if use_pallas is None:
             use_pallas = (
                 self.device.platform == "tpu"
@@ -210,7 +252,14 @@ class InferenceEngine:
 
         print("Loading Prot-B-GAN inference system...")
         print(f"Checkpoint: {checkpoint_path}")
-        print(f"Device: {device_str(self.device)}")
+        if self.mesh is not None:
+            print(
+                f"Device: mesh of {self.mesh.devices.size} "
+                f"(data={self.mesh.shape['data']}, "
+                f"model={self.mesh.shape['model']})"
+            )
+        else:
+            print(f"Device: {device_str(self.device)}")
 
         self._load_checkpoint()
 
@@ -218,6 +267,12 @@ class InferenceEngine:
         print(f"   - Entities: {self.num_entities:,}")
         print(f"   - Relations: {self.num_relations:,}")
         print(f"   - Embedding dim: {self.embed_dim}")
+
+    @staticmethod
+    def _resolve_mesh(mesh):
+        from probgan_tpu.parallel.mesh import resolve_mesh
+
+        return resolve_mesh(mesh)
 
     # -- load ---------------------------------------------------------------
 
@@ -230,7 +285,14 @@ class InferenceEngine:
         self.noise_dim = int(saved_args.get("noise_dim", 64))
         self.hidden_dim = int(saved_args.get("hidden_dim", 1024))
 
-        put = partial(jax.device_put, device=self.device)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            put = partial(
+                jax.device_put, device=NamedSharding(self.mesh, PartitionSpec())
+            )
+        else:
+            put = partial(jax.device_put, device=self.device)
         self.node_emb = put(jnp.asarray(ckpt["node_emb"], jnp.float32))
         self.rel_table = put(jnp.asarray(ckpt["rel_emb"]["weight"], jnp.float32))
         self.num_entities = int(self.node_emb.shape[0])
@@ -251,13 +313,24 @@ class InferenceEngine:
         # Cache the normalized entity table once (vs per-call at
         # pro_b_gan_infer.py:147), row-padded with zeros so the Pallas rank
         # kernel's N tiling is satisfied for any entity count (padded rows
-        # score exactly 0 and are sliced off before top-k in _rank_scores).
+        # score exactly 0 and are sliced off before top-k in _rank_scores,
+        # or masked to -inf in the fused/sharded top-k paths).
         n_pad = -(-self.num_entities // _N_TILE) * _N_TILE
         self.entity_norm = jax.jit(
             lambda t: jnp.pad(
                 rank_ops.l2_normalize(t), ((0, n_pad - t.shape[0]), (0, 0))
             )
         )(self.node_emb)
+
+        if self.mesh is not None:
+            # Tensor parallelism: rank against the table row-sharded over the
+            # ``model`` axis (parallel/sharded_rank.py handles uneven-N
+            # padding and pad-row masking).
+            from probgan_tpu.parallel.sharded_rank import shard_entity_table
+
+            self.entity_norm_sharded = shard_entity_table(
+                self.entity_norm, self.mesh
+            )
 
         # Pre-pad the relation table for the scanned analyze kernel.
         r_pad = -(-self.num_relations // _REL_CHUNK) * _REL_CHUNK
@@ -273,11 +346,18 @@ class InferenceEngine:
         print(f"  - Best validation Hit@10: {self.best_val_hit10:.4f}")
         print(f"  - Achieved at epoch: {self.best_epoch}")
 
+    def _place(self, x) -> jax.Array:
+        """Place a host array: replicated over the mesh, or on the device."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(x, NamedSharding(self.mesh, PartitionSpec()))
+        return jax.device_put(x, self.device)
+
     def _noise(self, batch: int, task: str) -> jax.Array:
         key = self._rng.next_key(task)
-        return jax.device_put(
-            jax.random.normal(key, (batch, self.noise_dim), dtype=jnp.float32),
-            self.device,
+        return self._place(
+            jax.random.normal(key, (batch, self.noise_dim), dtype=jnp.float32)
         )
 
     # -- tasks ----------------------------------------------------------------
@@ -309,18 +389,32 @@ class InferenceEngine:
         heads = _pad_ids([p[0] for p in head_relation_pairs], bucket)
         rels = _pad_ids([p[1] for p in head_relation_pairs], bucket)
         with task_trace("predict_tails"):
-            top_scores, top_indices = _predict_tails_fn(
-                self.generator_params,
-                self.node_emb,
-                self.entity_norm,
-                self.rel_table,
-                jax.device_put(heads, self.device),
-                jax.device_put(rels, self.device),
-                self._noise(bucket, "predict_tails"),
-                top_k,
-                self.num_entities,
-                self._use_pallas,
-            )
+            if self.mesh is not None:
+                top_scores, top_indices = _predict_tails_sharded_fn(
+                    self.generator_params,
+                    self.node_emb,
+                    self.entity_norm_sharded,
+                    self.rel_table,
+                    self._place(heads),
+                    self._place(rels),
+                    self._noise(bucket, "predict_tails"),
+                    top_k,
+                    self.num_entities,
+                    self.mesh,
+                )
+            else:
+                top_scores, top_indices = _predict_tails_fn(
+                    self.generator_params,
+                    self.node_emb,
+                    self.entity_norm,
+                    self.rel_table,
+                    self._place(heads),
+                    self._place(rels),
+                    self._noise(bucket, "predict_tails"),
+                    top_k,
+                    self.num_entities,
+                    self._use_pallas,
+                )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 
         results: Dict[str, Any] = {
@@ -364,7 +458,7 @@ class InferenceEngine:
         bucket = _bucket(n)
         trip = np.zeros((bucket, 3), dtype=np.int32)
         trip[:n] = trip_np
-        trip_dev = jax.device_put(trip, self.device)
+        trip_dev = self._place(trip)
 
         results: Dict[str, Any] = {
             "triplets": [list(t) for t in triplets],
@@ -424,13 +518,23 @@ class InferenceEngine:
         queries = _pad_ids(entity_ids, bucket)
         k_query = min(top_k + 1, self.num_entities)
         with task_trace("similar_entities"):
-            top_scores, top_indices = _similar_entities_fn(
-                self.entity_norm,
-                jax.device_put(queries, self.device),
-                k_query,
-                self.num_entities,
-                self._use_pallas,
-            )
+            if self.mesh is not None:
+                top_scores, top_indices = _similar_entities_sharded_fn(
+                    self.entity_norm,
+                    self.entity_norm_sharded,
+                    self._place(queries),
+                    k_query,
+                    self.num_entities,
+                    self.mesh,
+                )
+            else:
+                top_scores, top_indices = _similar_entities_fn(
+                    self.entity_norm,
+                    self._place(queries),
+                    k_query,
+                    self.num_entities,
+                    self._use_pallas,
+                )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 
         results: Dict[str, Any] = {
@@ -490,7 +594,7 @@ class InferenceEngine:
                 self.discriminator_params,
                 self.node_emb,
                 self._rel_table_padded,
-                jax.device_put(pair_arr, self.device),
+                self._place(pair_arr),
                 k,
                 self.num_relations,
             )

@@ -5,7 +5,7 @@ TPU-native scaling layer it lacks: entity-table tensor parallelism and batch
 data parallelism over a ``jax.sharding.Mesh``, with XLA collectives riding ICI.
 """
 
-from probgan_tpu.parallel.mesh import make_mesh
+from probgan_tpu.parallel.mesh import make_mesh, resolve_mesh
 from probgan_tpu.parallel.sharded_rank import sharded_rank_topk
 
-__all__ = ["make_mesh", "sharded_rank_topk"]
+__all__ = ["make_mesh", "resolve_mesh", "sharded_rank_topk"]

@@ -45,3 +45,20 @@ def make_mesh(
 
     grid = np.asarray(devices).reshape(n_devices // model_parallelism, model_parallelism)
     return Mesh(grid, axis_names)
+
+
+def resolve_mesh(spec) -> Mesh | None:
+    """User-facing mesh spec -> Mesh or None (single device).
+
+    Accepts None/""/"1"/1 (off), "auto" (all attached devices), an int device
+    count, or a prebuilt Mesh. A resolved mesh of one device collapses to
+    None so callers keep the plain single-device path."""
+    if spec in (None, "", "1", 1):
+        return None
+    if isinstance(spec, Mesh):
+        return spec if spec.devices.size > 1 else None
+    n = None if spec == "auto" else int(spec)
+    if n is not None and n <= 1:
+        return None
+    built = make_mesh(n)
+    return built if built.devices.size > 1 else None

@@ -21,7 +21,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def shard_entity_table(table: jax.Array, mesh: Mesh, axis: str = "model") -> jax.Array:
     """Place a [N, D] table row-sharded over ``axis`` (replicated over the
-    other mesh axes)."""
+    other mesh axes). Uneven N is zero-padded to the axis size — pass the
+    true N as ``num_entities`` to ``sharded_rank_topk`` so pad rows are
+    masked out of rankings."""
+    tp = mesh.shape[axis]
+    pad = (-table.shape[0]) % tp
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
     return jax.device_put(table, NamedSharding(mesh, P(axis, None)))
 
 
@@ -31,29 +37,46 @@ def sharded_rank_topk(
     k: int,
     mesh: Mesh,
     axis: str = "model",
+    num_entities: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine ranking against a row-sharded normalized table.
 
     Args:
         query_norm: [B, D] normalized queries (replicated).
-        table_norm_sharded: [N, D] normalized table, rows sharded over
-            ``axis`` (use ``shard_entity_table``). N must divide evenly.
+        table_norm_sharded: [N_pad, D] normalized table, rows sharded over
+            ``axis`` (use ``shard_entity_table``); N_pad must divide evenly
+            by the axis size (zero-pad an uneven table before sharding).
         k: number of results (must be <= local shard size).
         mesh: the device mesh.
+        num_entities: true row count; padding rows (global id >= this) are
+            masked out of the ranking (a zero pad row's cosine is exactly 0,
+            which would otherwise beat genuinely negative scores).
 
     Returns:
         (values [B, k], global indices [B, k]) — replicated, identical to
-        ``jax.lax.top_k(query_norm @ table_norm.T, k)`` on one device.
+        ``jax.lax.top_k(query_norm @ table_norm.T[:num_entities], k)`` on
+        one device.
     """
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
+    n = num_entities if num_entities is not None else table_norm_sharded.shape[0]
 
     def local_rank(q, table_shard):
         local_n = table_shard.shape[0]
         scores = jnp.matmul(
             q, table_shard.T, precision=jax.lax.Precision.HIGHEST
         )  # [B, N/m]
-        v, i = jax.lax.top_k(scores, k)
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+            + jax.lax.axis_index(axis) * local_n
+        )
+        scores = jnp.where(gidx < n, scores, -jnp.inf)
+        k_local = min(k, local_n)
+        v, i = jax.lax.top_k(scores, k_local)
         i = i + jax.lax.axis_index(axis) * local_n  # local -> global entity ids
+        if k_local < k:  # tiny shard: pad candidates (sort last, never win)
+            v = jnp.pad(v, ((0, 0), (0, k - k_local)),
+                        constant_values=-jnp.inf)
+            i = jnp.pad(i, ((0, 0), (0, k - k_local)),
+                        constant_values=jnp.iinfo(jnp.int32).max)
         # Merge: gather each shard's k candidates along the last axis, then
         # re-rank the m*k pool. Rides ICI; tiny payload (2*m*k per row).
         vg = jax.lax.all_gather(v, axis, axis=1, tiled=True)  # [B, m*k]

@@ -100,3 +100,57 @@ def test_dp_generate_rejects_indivisible_batch():
     mesh = make_mesh(8, model_parallelism=1)
     with pytest.raises(ValueError, match="divisible"):
         dp_generate(mesh, g, z, cfg, cfg.num_stages - 1)
+
+
+def test_sharded_rank_uneven_entity_count():
+    """N not divisible by the model axis: shard_entity_table zero-pads and
+    sharded_rank_topk masks the pad rows (their cosine would be exactly 0,
+    beating genuinely negative scores)."""
+    mesh = make_mesh(8, model_parallelism=4)
+    table = jax.random.normal(jax.random.key(5), (10, 64), jnp.float32)
+    table_norm = rank_ops.l2_normalize(table)
+    # make all true scores negative so an unmasked pad row would win
+    q_norm = rank_ops.l2_normalize(-jnp.sum(table_norm, axis=0, keepdims=True))
+    q_norm = jnp.tile(q_norm, (4, 1))
+    sharded = shard_entity_table(table_norm, mesh)
+    assert sharded.shape[0] == 12  # padded to a multiple of tp=4
+    v, i = sharded_rank_topk(q_norm, sharded, 5, mesh, num_entities=10)
+    ref_v, ref_i = rank_ops.rank_topk(q_norm, table_norm, 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), atol=1e-6)
+    assert np.asarray(i).max() < 10  # no pad index leaked
+
+
+def test_cli_json_identical_single_vs_mesh(native_ckpt_path, tmp_path, capsys):
+    """VERDICT r1 #4 'done' criterion: the CLI's JSON output is identical at
+    1 device and on the 8-device mesh for the mesh-routed tasks."""
+    import json
+
+    from probgan_tpu.cli.infer import main as infer_main
+
+    for task, extra in [
+        ("predict_tails", ["--input_pairs", "[[0,1],[2,3],[7,4]]"]),
+        ("similar_entities", ["--input_entities", "[0,7,21]"]),
+    ]:
+        out1 = str(tmp_path / f"{task}_1.json")
+        out8 = str(tmp_path / f"{task}_8.json")
+        base = ["--checkpoint_path", native_ckpt_path, "--task", task,
+                "--top_k", "5", "--seed", "3"]
+        infer_main(base + extra + ["--output_file", out1])
+        infer_main(base + extra + ["--output_file", out8, "--mesh", "auto"])
+        capsys.readouterr()
+        with open(out1) as f:
+            r1 = json.load(f)
+        with open(out8) as f:
+            r8 = json.load(f)
+        assert r1 == r8, f"{task} differs between 1 device and the mesh"
+
+
+def test_engine_mesh_spec_resolution(native_ckpt_path):
+    from probgan_tpu.engine import InferenceEngine
+
+    eng = InferenceEngine(native_ckpt_path, device="cpu", mesh="1")
+    assert eng.mesh is None
+    eng8 = InferenceEngine(native_ckpt_path, device="cpu", mesh="auto")
+    assert eng8.mesh is not None and eng8.mesh.devices.size == 8
+    assert eng8.entity_norm_sharded.shape[0] % 8 == 0
