@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Weight of the full-softmax ranking loss")
     parser.add_argument("--adv_weight", type=float, default=0.1,
                         help="Weight of the adversarial fool-D term in the generator loss")
+    parser.add_argument("--ce_negatives", type=int, default=-1,
+                        help="Sampled-softmax size for the ranking loss: 0 = "
+                             "full softmax over all entities (O(B*N) per "
+                             "step), N>0 = that many shared negatives, "
+                             "-1 = auto (full softmax below 50k entities, "
+                             "8192 negatives above)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output_dir", type=str, default="./modular_results",
                         help="Where best_checkpoint.pt is written "
@@ -272,6 +278,14 @@ def main(argv: list[str] | None = None) -> int:
             }
             return ckpt
 
+        from probgan_tpu import native
+
+        ce_neg = args.ce_negatives
+        if ce_neg < 0:
+            ce_neg = 0 if num_entities <= 50_000 else 8192
+        if ce_neg:
+            print(f"  - Sampled-softmax ranking loss: {ce_neg} negatives")
+
         steps_per_epoch = max(1, len(train) // args.batch_size)
         for epoch in range(start_epoch + 1, args.epochs + 1):
             t0 = time.time()
@@ -285,9 +299,24 @@ def main(argv: list[str] | None = None) -> int:
                 # epoch*CONST+step collides across epochs once step > CONST.
                 global_step = (epoch - 1) * steps_per_epoch + step
                 key = jax.random.fold_in(jax.random.key(args.seed), global_step)
+                # Host-side corrupted negatives from the native sampler
+                # (C xorshift128+, numpy fallback): corrupted tails + rels
+                # for the discriminator; the sampling overlaps device compute.
+                nb = len(idx)
+                negatives = jnp.asarray(np.stack([
+                    native.sample_negatives(nb, num_entities, 2 * global_step),
+                    native.sample_negatives(nb, num_relations, 2 * global_step + 1),
+                ], axis=1))
+                ce_ids = (
+                    jnp.asarray(native.sample_negatives(
+                        ce_neg, num_entities, 0x5EED0000 + global_step
+                    ))
+                    if ce_neg
+                    else None
+                )
                 state, metrics = train_engine.kg_train_step(
                     state, batch, key, args.lr, args.cosine_weight, args.ce_weight,
-                    args.adv_weight,
+                    args.adv_weight, negatives=negatives, ce_negatives=ce_ids,
                 )
                 epoch_d += float(metrics["d_loss"])
                 epoch_g += float(metrics["g_loss"])
@@ -302,9 +331,10 @@ def main(argv: list[str] | None = None) -> int:
             epoch_d = float(epoch_d)
             epoch_g = float(epoch_g)
             # Chunked eval: one unchunked call materializes a
-            # [num_valid, num_entities] score matrix (OOM at production N).
+            # [num_valid, num_entities] score matrix (OOM at production N) —
+            # the chunk adapts so it stays <= ~2 GB.
             hits, seen = 0.0, 0
-            eval_bs = 4096
+            eval_bs = max(64, min(4096, (1 << 29) // max(num_entities, 1)))
             for off in range(0, len(valid), eval_bs):
                 vb = valid_dev[off : off + eval_bs]
                 zb = z_eval[off : off + eval_bs]

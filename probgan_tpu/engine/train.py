@@ -174,7 +174,30 @@ def _rank_ce(pred: jax.Array, node_emb: jax.Array, t_idx: jax.Array) -> jax.Arra
     return -jnp.mean(jnp.take_along_axis(logp, t_idx[:, None], axis=1))
 
 
-@partial(jax.jit, static_argnames=("lr", "cosine_weight", "ce_weight", "adv_weight"))
+def _sampled_rank_ce(
+    pred: jax.Array, node_emb: jax.Array, t_idx: jax.Array, neg_ids: jax.Array
+) -> jax.Array:
+    """Sampled-softmax ranking cross-entropy: the full [B, N] logit matrix is
+    O(B*N) per step (fine at N=5k, ruinous at N=1M); here the softmax runs
+    over {true tail} U {S shared sampled negatives}. Negatives that collide
+    with a row's true tail are masked so the label class is unique."""
+    pred_n = rank_ops.l2_normalize(pred)
+    true_emb = rank_ops.l2_normalize(node_emb[t_idx])        # [B, D]
+    neg_emb = rank_ops.l2_normalize(node_emb[neg_ids])       # [S, D]
+    true_logit = jnp.sum(pred_n * true_emb, axis=1, keepdims=True)
+    neg_logits = rank_ops.cosine_scores(
+        pred_n, neg_emb, precision=jax.lax.Precision.DEFAULT
+    )  # [B, S]
+    collide = neg_ids[None, :] == t_idx[:, None]
+    neg_logits = jnp.where(collide, -jnp.inf, neg_logits)
+    logits = jnp.concatenate([true_logit, neg_logits], axis=1) / _CE_TEMPERATURE
+    return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lr", "cosine_weight", "ce_weight", "adv_weight"),
+)
 def kg_train_step(
     state: KGTrainState,
     triplets: jax.Array,  # [B, 3] int (h, r, t) positive triplets
@@ -183,12 +206,25 @@ def kg_train_step(
     cosine_weight: float = 1.0,
     ce_weight: float = 1.0,
     adv_weight: float = 0.1,
+    negatives: jax.Array | None = None,   # [B, 2] (corrupt tail, corrupt rel)
+    ce_negatives: jax.Array | None = None,  # [S] sampled-softmax entity ids
 ):
     """One adversarial step on a batch of positive triplets.
 
-    D separates (h, r, t_true) from (h, r, G(h, r, z)) with the tables
-    frozen; then G and the embedding tables train jointly on
-    fool-D + ranking cross-entropy + cosine reconstruction."""
+    The discriminator separates true triplets from THREE kinds of negatives —
+    generator fakes (h, r, G(h,r,z)), corrupted tails (h, r, t'), and
+    corrupted relations (h, r', t) — with the tables frozen. A D trained only
+    on generator fakes never sees false-but-real-embedding triples, which
+    miscalibrates exactly the scorer ``analyze_relations`` relies on
+    (pro_b_gan_infer.py:290-302 varies r per pair). ``negatives`` carries the
+    corrupted ids, host-sampled by the native loader
+    (probgan_tpu/native sample_negatives) in the trainer; None keeps the
+    fakes-only round-1 loss.
+
+    Then G and the embedding tables train jointly on fool-D + ranking
+    cross-entropy + cosine reconstruction. ``ce_negatives`` switches the CE
+    from full-softmax over all N entities (O(B*N) per step) to a sampled
+    softmax over S shared negatives — required at production N."""
     opt = kg_optimizer(lr)
     noise_dim = kg_gan.generator_dims(state.g_params)[1]
     z = jax.random.normal(key, (triplets.shape[0], noise_dim), dtype=jnp.float32)
@@ -204,7 +240,19 @@ def kg_train_step(
         )
         real_logits = kg_gan.discriminator_apply(d_params, h, r, t)
         fake_logits = kg_gan.discriminator_apply(d_params, h, r, fake_t)
-        adv = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
+        neg_terms = [_softplus(fake_logits)]
+        if negatives is not None:
+            t_neg = state.node_emb[negatives[:, 0]]
+            r_neg = state.rel_emb[negatives[:, 1]]
+            neg_terms.append(
+                _softplus(kg_gan.discriminator_apply(d_params, h, r, t_neg))
+            )
+            neg_terms.append(
+                _softplus(kg_gan.discriminator_apply(d_params, h, r_neg, t))
+            )
+        adv = jnp.mean(_softplus(-real_logits)) + jnp.mean(
+            jnp.stack([jnp.mean(term) for term in neg_terms])
+        )
         return adv, (jnp.mean(real_logits), jnp.mean(fake_logits))
 
     (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
@@ -221,7 +269,10 @@ def kg_train_step(
         fake_logits = kg_gan.discriminator_apply(d_params, h, r, fake_t)
         adv = jnp.mean(_softplus(-fake_logits))
         cos = jnp.mean(rank_ops.cosine_similarity(fake_t, t))
-        ce = _rank_ce(fake_t, node_emb, t_idx)
+        if ce_negatives is not None:
+            ce = _sampled_rank_ce(fake_t, node_emb, t_idx, ce_negatives)
+        else:
+            ce = _rank_ce(fake_t, node_emb, t_idx)
         # adv is down-weighted by default: the ranking cross-entropy is the
         # quality-bearing objective; an unconstrained discriminator's
         # gradient otherwise swamps it (g_loss diverges, Hit@10 stalls).

@@ -347,3 +347,114 @@ def test_trainer_falls_back_to_vocab_on_late_strings(tmp_path):
     train, valid, n_ent, n_rel, vocab = load_triplets(str(root))
     assert vocab is not None  # vocabulary path was taken
     assert len(train) == 12001
+
+
+def test_kg_train_step_with_negatives_and_sampled_ce():
+    """The corrupted-negative D loss and sampled-softmax CE run and update
+    every component; sampled CE must track full CE closely when the sample
+    covers most entities."""
+    state = train_engine.kg_init_state(
+        jax.random.key(0), num_entities=40, num_relations=5,
+        embed_dim=16, noise_dim=8, hidden_dim=32,
+    )
+    trips = jnp.asarray(
+        np.random.RandomState(0).randint(0, [40, 5, 40], size=(16, 3)), jnp.int32
+    )
+    negs = jnp.asarray(
+        np.random.RandomState(1).randint(0, [40, 5], size=(16, 2)), jnp.int32
+    )
+    ce_ids = jnp.asarray(np.arange(40), jnp.int32)  # full coverage
+    s1, m1 = train_engine.kg_train_step(
+        state, trips, jax.random.key(1), negatives=negs, ce_negatives=ce_ids
+    )
+    assert np.isfinite(float(m1["d_loss"])) and np.isfinite(float(m1["g_loss"]))
+    # params actually moved
+    assert not np.allclose(np.asarray(s1.d_params["fc1"]["w"]),
+                           np.asarray(state.d_params["fc1"]["w"]))
+
+    # sampled CE with full coverage == full softmax CE (same loss value)
+    h = state.node_emb[trips[:, 0]]
+    r = state.rel_emb[trips[:, 1]]
+    z = jnp.zeros((16, 8), jnp.float32)
+    from probgan_tpu.models import kg_gan as kgm
+
+    pred = kgm.generator_apply(state.g_params, h, r, z)
+    full = float(train_engine._rank_ce(pred, state.node_emb, trips[:, 2]))
+    sampled = float(
+        train_engine._sampled_rank_ce(pred, state.node_emb, trips[:, 2], ce_ids)
+    )
+    np.testing.assert_allclose(sampled, full, rtol=1e-5)
+
+
+def test_negative_sampling_calibrates_relation_analysis():
+    """VERDICT r1 #5 'done' criterion: after training WITH corrupted
+    negatives, the discriminator ranks the true relation of held-out pairs
+    above random. Tiny structured KG: relation r maps h -> (h + 7*(r+1)) % N."""
+    n_ent, n_rel = 30, 4
+    rng = np.random.RandomState(0)
+    heads = rng.randint(0, n_ent, size=600)
+    rels = rng.randint(0, n_rel, size=600)
+    tails = (heads + 7 * (rels + 1)) % n_ent
+    trips = np.stack([heads, rels, tails], axis=1).astype(np.int32)
+
+    state = train_engine.kg_init_state(
+        jax.random.key(3), num_entities=n_ent, num_relations=n_rel,
+        embed_dim=16, noise_dim=8, hidden_dim=32, lr=5e-3,
+    )
+    bs = 64
+    for step in range(150):
+        idx = rng.randint(0, len(trips), size=bs)
+        batch = jnp.asarray(trips[idx])
+        negs = jnp.asarray(
+            np.stack([
+                rng.randint(0, n_ent, size=bs),
+                rng.randint(0, n_rel, size=bs),
+            ], axis=1).astype(np.int32)
+        )
+        state, _ = train_engine.kg_train_step(
+            state, batch, jax.random.fold_in(jax.random.key(4), step),
+            lr=5e-3, negatives=negs,
+        )
+
+    # held-out pairs: true relation's D logit should beat the mean of others
+    from probgan_tpu.models import kg_gan as kgm
+
+    test_h = jnp.arange(n_ent, dtype=jnp.int32)
+    wins = 0
+    for r_true in range(n_rel):
+        t = (test_h + 7 * (r_true + 1)) % n_ent
+        logits = []
+        for r in range(n_rel):
+            logits.append(np.asarray(kgm.discriminator_apply(
+                state.d_params,
+                state.node_emb[test_h],
+                jnp.tile(state.rel_emb[r][None], (n_ent, 1)),
+                state.node_emb[t],
+            )))
+        logits = np.stack(logits, axis=1)  # [n_ent, n_rel]
+        wins += int((logits[:, r_true] > np.median(logits, axis=1)).sum())
+    # true relation above the median relation score for most pairs
+    assert wins > 0.7 * n_ent * n_rel, f"wins={wins}/{n_ent * n_rel}"
+
+
+def test_make_synthetic_kg_tool(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "kg"
+    res = subprocess.run(
+        [_sys.executable, "tools/make_synthetic_kg.py", "--out", str(out),
+         "--entities", "500", "--relations", "11", "--triplets", "3000",
+         "--types", "20"],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr
+    train = np.loadtxt(out / "train.txt", dtype=np.int64)
+    valid = np.loadtxt(out / "valid.txt", dtype=np.int64)
+    assert train[:, [0, 2]].max() < 500 and train[:, 1].max() < 11
+    assert len(valid) > 0
+    # many-to-many: some (h, r) should have multiple distinct tails
+    key = train[:, 0].astype(np.int64) * 1000 + train[:, 1]
+    _, counts = np.unique(key, return_counts=True)
+    assert (counts > 1).any()
