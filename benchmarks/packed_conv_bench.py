@@ -106,7 +106,7 @@ def main() -> None:
 
     bench("xla_nhwc_highest", xla_chain_native,
           jnp.transpose(x0, (0, 2, 3, 1)))
-    for mode in ("highest", "high", "default"):
+    for mode in ("highest", "exact6", "high", "default"):
         bench(f"pallas_packed_{mode}", lambda x, m=mode: packed(x, m), x0)
     print(json.dumps({
         "speedup_packed_highest_vs_xla":

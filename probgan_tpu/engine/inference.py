@@ -630,7 +630,16 @@ class InferenceEngine:
         return results
 
     def get_model_info(self) -> Dict[str, Any]:
-        """Static model card (pro_b_gan_infer.py:322-338)."""
+        """Static model card (pro_b_gan_infer.py:322-338). With a mesh, the
+        ``device`` field reports the mesh shape instead of a single device
+        (additive: the reference surface is single-device)."""
+        if self.mesh is not None:
+            device = (
+                f"mesh(data={self.mesh.shape['data']},"
+                f"model={self.mesh.shape['model']})"
+            )
+        else:
+            device = device_str(self.device)
         return {
             "model_architecture": {
                 "embedding_dim": self.embed_dim,
@@ -644,5 +653,5 @@ class InferenceEngine:
                 "best_epoch": self.best_epoch,
             },
             "checkpoint_path": self.checkpoint_path,
-            "device": device_str(self.device),
+            "device": device,
         }

@@ -28,6 +28,18 @@ benchmarks/packed_conv_bench.py).
 
 Precision modes (matching models/pro_gan.py's MXU ladder):
 - "highest": fp32 operands, Precision.HIGHEST (6-pass; fp32-accurate)
+- "exact6":  the SAME six bf16 products Mosaic's fp32 emulation computes
+             (3-way hi/mid/lo split: hi*hi + hi*mid + mid*hi + hi*lo +
+             lo*hi + mid*mid; dropped terms are < 2^-24 relative) but
+             materialized as ONE tall-K dot instead of six sequential
+             passes. Measured NEGATIVE result both ways (benchmarks/
+             packed_conv_bench.py, packed_psnr.py): 2.08 vs 1.98 ms
+             against "highest" (the 6x VMEM operand materialization
+             cancels the pass overlap) and 54.7 dB end-to-end at 1024²
+             (uint8 rounding flips the same knife-edge pixels as "high"
+             despite a 4x tighter per-dot bound). Kept as a tested mode
+             so the measurement is reproducible; the ladder never maps
+             to it.
 - "high":    bf16 hi/lo split WITH cross terms, stacked 3x in K
              (hi*hi + hi*lo + lo*hi — 3-pass fp32 emulation; Mosaic's dot
              only exposes DEFAULT/HIGHEST so the passes are materialized in
@@ -52,7 +64,7 @@ LRELU_SLOPE = 0.2
 _PIXELNORM_EPS = 1e-8
 _NSLOT = 4  # revolver slots: 3 resident panels + 1 in flight
 
-VALID_MODES = ("highest", "high", "default")
+VALID_MODES = ("highest", "exact6", "high", "default")
 
 
 # ---------------------------------------------------------------------------
@@ -65,16 +77,33 @@ def _hilo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
+def _hi_mid_lo(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """3-way bf16 split: x = hi + mid + lo + eps, |eps| ~ 2^-24 |x|."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def stack_weights(wk: jax.Array, mode: str) -> jax.Array:
     """[K, Cout] fp32 -> kernel-side weight operand for ``mode``.
 
     For "high", K triples: the dot pairs [w_hi; w_hi; w_lo] against
     [x_hi; x_lo; x_hi], yielding hi*hi + hi*lo + lo*hi (3-pass fp32
     emulation WITH cross terms — a naive [w_hi; w_lo] x [x_hi; x_lo]
-    K-stack computes only the diagonal terms, which is bf16-accurate)."""
+    K-stack computes only the diagonal terms, which is bf16-accurate).
+
+    For "exact6", K sextuples with the 3-way split's six significant
+    products (every dropped product is < 2^-24 relative): the block
+    pairing below against ``_stack_x`` yields
+    hi*hi + hi*mid + mid*hi + hi*lo + lo*hi + mid*mid."""
     if mode == "high":
         hi, lo = _hilo(wk)
         return jnp.concatenate([hi, hi, lo], axis=0)
+    if mode == "exact6":
+        hi, mid, lo = _hi_mid_lo(wk)
+        return jnp.concatenate([hi, hi, mid, hi, lo, mid], axis=0)
     return wk
 
 
@@ -82,6 +111,9 @@ def _stack_x(x_all: jax.Array, mode: str) -> jax.Array:
     if mode == "high":
         hi, lo = _hilo(x_all)
         return jnp.concatenate([hi, lo, hi], axis=0)
+    if mode == "exact6":
+        hi, mid, lo = _hi_mid_lo(x_all)
+        return jnp.concatenate([hi, mid, hi, lo, hi, mid], axis=0)
     return x_all
 
 

@@ -189,6 +189,105 @@ def test_hilo_split_has_cross_terms():
     assert rel_diag > 100 * rel
 
 
+def test_exact6_mode_is_fp32_grade():
+    """"exact6" (3-way hi/mid/lo split, six K-stacked products) must
+    reconstruct the fp32 dot to fp32-emulation accuracy — the same six
+    products Mosaic's HIGHEST 6-pass computes, so it must be an order of
+    magnitude tighter than the 2-way split-3 "high" mode."""
+    rng = np.random.RandomState(31)
+    wk = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    want = np.asarray(
+        jax.lax.dot_general(
+            wk, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+
+    def rel_err(mode):
+        wks = np.asarray(pk.stack_weights(wk, mode), np.float32)
+        xs = np.asarray(pk._stack_x(x, mode), np.float32)
+        got = wks.T @ xs
+        return np.abs(got - want).max() / np.abs(want).max()
+
+    rel6 = rel_err("exact6")
+    rel3 = rel_err("high")
+    assert rel6 < 2e-6
+    assert rel6 < rel3 / 4
+
+
+def test_exact6_mode_conv_parity():
+    """The exact6 kernel mode passes the SAME parity bound as "highest"
+    against the fp32 reference chain."""
+    b, c, cout, h, w = 1, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 23)
+    wgt = _rand((3, 3, c, cout), 24, 0.2)
+    bias = _rand((cout,), 25)
+    want = np.asarray(jax.jit(ref_conv)(x, wgt, bias))
+    got = unphase(
+        np.asarray(
+            pk.packed_conv(
+                jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt),
+                jnp.asarray(bias), 2, mode="exact6", interpret=True,
+            )
+        ),
+        2,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_exact6_mode_upconv_and_rgb_parity():
+    b, c, cout, h, w = 1, 8, 8, 16, 32
+    p = 2
+    x = _rand((b, h, w, c), 26)
+    wgt = _rand((3, 3, c, cout), 27, 0.2)
+    bias = _rand((cout,), 28)
+
+    def ref_up(x, wgt, bias):
+        return ref_conv(pro_gan.upsample_nearest_2x(x), wgt, bias)
+
+    want = np.asarray(jax.jit(ref_up)(x, wgt, bias))
+    got = unphase(
+        np.asarray(
+            pk.packed_upconv(
+                jnp.asarray(phase_block(x, p)), jnp.asarray(wgt),
+                jnp.asarray(bias), p, mode="exact6", rows_per_step=4,
+                interpret=True,
+            )
+        ),
+        2 * p,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    rgb_w = _rand((cout, 3), 29, 0.3)
+    rgb_b = _rand((3,), 30)
+    prev_nhwc = _rand((b, h, w, 3), 31)
+    xb = _rand((b, 2 * h, 2 * w, c), 32)
+
+    def ref_rgb(xb):
+        feat = ref_conv(xb, wgt, bias)
+        rgb = feat @ rgb_w + rgb_b
+        prev_up = pro_gan.upsample_nearest_2x(prev_nhwc)
+        return prev_up + 0.4 * (rgb - prev_up)
+
+    want_rgb = np.asarray(jax.jit(ref_rgb)(xb))
+    prev_pk = phase_block(
+        np.pad(prev_nhwc, ((0, 0), (0, 0), (0, 0), (0, 5))), p
+    )
+    got_rgb = unphase(
+        np.asarray(
+            pk.packed_conv_rgb(
+                jnp.asarray(phase_block(xb, 2 * p)), jnp.asarray(wgt),
+                jnp.asarray(bias), jnp.asarray(rgb_w), jnp.asarray(rgb_b),
+                jnp.asarray(prev_pk), jnp.float32(0.4), 2 * p, mode="exact6",
+                interpret=True,
+            )
+        ),
+        2 * p,
+    )
+    np.testing.assert_allclose(got_rgb, want_rgb, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("alpha", [1.0, 0.5])
 def test_generator_packed_end_to_end(alpha):
     """generator_rgb(packed=True) must match the XLA path through the real

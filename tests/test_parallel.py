@@ -151,6 +151,8 @@ def test_engine_mesh_spec_resolution(native_ckpt_path):
 
     eng = InferenceEngine(native_ckpt_path, device="cpu", mesh="1")
     assert eng.mesh is None
+    assert eng.get_model_info()["device"] == "cpu:0"
     eng8 = InferenceEngine(native_ckpt_path, device="cpu", mesh="auto")
     assert eng8.mesh is not None and eng8.mesh.devices.size == 8
     assert eng8.entity_norm_sharded.shape[0] % 8 == 0
+    assert eng8.get_model_info()["device"].startswith("mesh(")
