@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Progressive fade-in alpha for generate_images",
     )
     parser.add_argument(
+        "--raw_generator", action="store_true",
+        help="generate_images: use the raw adversarial iterate even when "
+        "the checkpoint stores EMA generator weights (default prefers EMA)",
+    )
+    parser.add_argument(
         "--profile_dir",
         type=str,
         default="",
@@ -138,7 +143,9 @@ def run_generate_images(args: argparse.Namespace):
     from probgan_tpu.core.image_checkpoint import load_image_checkpoint
     from probgan_tpu.engine.image import ImageGANEngine
 
-    config, g_params, d_params = load_image_checkpoint(args.checkpoint_path)
+    config, g_params, d_params = load_image_checkpoint(
+        args.checkpoint_path, prefer_ema=not args.raw_generator
+    )
     engine = ImageGANEngine(
         config, g_params=g_params, d_params=d_params or None,
         device=args.device, seed=args.seed, mesh=args.mesh,

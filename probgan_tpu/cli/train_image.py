@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["default", "high", "highest"])
     parser.add_argument("--resume", action="store_true",
                         help="Resume from <output_dir>/train_state.msgpack")
+    parser.add_argument("--ema_beta", type=float, default=0.999,
+                        help="Generator EMA decay (0 disables; EMA weights "
+                        "are what generate_images serves by default)")
     return parser
 
 
@@ -144,7 +147,21 @@ def main(argv: list[str] | None = None) -> int:
     start_stage = 0
     history: dict[str, list] = {"d_loss": [], "g_loss": []}
     if args.resume and os.path.exists(train_state_path):
-        state, meta = load_train_state(train_state_path, state)
+        try:
+            state, meta = load_train_state(train_state_path, state)
+        except ValueError:
+            # Pre-EMA train_state (no g_ema field): seed the EMA with the
+            # saved raw generator by key injection (flax state-dicts key
+            # NamedTuples by field name).
+            from flax import serialization
+
+            with open(train_state_path, "rb") as f:
+                payload = serialization.msgpack_restore(f.read())
+            sd = payload["state"]
+            if "g_ema" not in sd:
+                sd["g_ema"] = sd["g_params"]
+            state = serialization.from_state_dict(state, sd)
+            meta = payload["meta"]
         state = jax.device_put(state, device)
         history = {k: list(v) for k, v in meta["history"].items()}
         start_stage = int(meta["stage"]) + 1
@@ -187,7 +204,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 z = jax.random.normal(zkey, (args.batch_size, config.latent_dim))
                 state, metrics = train_engine.progan_train_step(
-                    state, batch, z, jnp.float32(alpha), config, stage, args.lr
+                    state, batch, z, jnp.float32(alpha), config, stage,
+                    args.lr, ema_beta=args.ema_beta,
                 )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]
@@ -218,6 +236,10 @@ def main(argv: list[str] | None = None) -> int:
             jax.tree.map(np.asarray, state.g_params),
             jax.tree.map(np.asarray, state.d_params),
             training_history=history,
+            g_ema=(
+                jax.tree.map(np.asarray, state.g_ema)
+                if args.ema_beta > 0 else None
+            ),
         )
         save_train_state(train_state_path, state, {"stage": stage, "history": history})
         if args.verbose:

@@ -8,9 +8,16 @@ spirit as the KG schema (core/checkpoint.py): a flat dict, msgpack on disk.
       'image_config': {'resolution', 'latent_dim', 'fmap_base', 'fmap_max',
                        'num_channels'},
       'image_generator': <generator params pytree>,
+      'image_generator_ema': <EMA generator params pytree> (optional),
       'image_discriminator': <discriminator params pytree>,
       'training_history': dict (optional),
     }
+
+'image_generator_ema' carries the trainer's exponential moving average of
+the generator (engine/train.py ProGANTrainState.g_ema); loaders prefer it
+for sample generation when present — the classic progressive-GAN serving
+configuration. 'image_generator' always holds the raw adversarial iterate
+(the resumable/trainable weights).
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ def save_image_checkpoint(
     g_params,
     d_params=None,
     training_history: dict | None = None,
+    g_ema=None,
 ) -> None:
     ckpt = {
         "image_config": dataclasses.asdict(config),
@@ -42,11 +50,17 @@ def save_image_checkpoint(
         "image_discriminator": d_params if d_params is not None else {},
         "training_history": training_history or {},
     }
+    if g_ema is not None:
+        ckpt["image_generator_ema"] = g_ema
     save_checkpoint(path, ckpt, format="native")
 
 
-def load_image_checkpoint(path: str) -> tuple[ProGANConfig, dict, dict]:
-    """Returns (config, g_params, d_params)."""
+def load_image_checkpoint(
+    path: str, prefer_ema: bool = True
+) -> tuple[ProGANConfig, dict, dict]:
+    """Returns (config, g_params, d_params). With ``prefer_ema`` (the
+    default), g_params is the checkpoint's EMA generator when one is stored;
+    pass False for the raw adversarial iterate."""
     ckpt = load_checkpoint(path)
     if not is_image_checkpoint(ckpt):
         raise ValueError(
@@ -61,4 +75,9 @@ def load_image_checkpoint(path: str) -> tuple[ProGANConfig, dict, dict]:
             return [to_np(v) for v in tree]
         return np.asarray(tree)
 
-    return cfg, to_np(ckpt["image_generator"]), to_np(ckpt["image_discriminator"])
+    g_key = (
+        "image_generator_ema"
+        if prefer_ema and "image_generator_ema" in ckpt
+        else "image_generator"
+    )
+    return cfg, to_np(ckpt[g_key]), to_np(ckpt["image_discriminator"])

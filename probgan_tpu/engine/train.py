@@ -48,6 +48,12 @@ class ProGANTrainState(NamedTuple):
     d_params: dict
     g_opt: optax.OptState
     d_opt: optax.OptState
+    # Exponential moving average of g_params (classic progressive-GAN
+    # practice: the EMA generator renders markedly smoother samples than the
+    # raw adversarial iterate). Serving prefers it when present
+    # (core/image_checkpoint.py). Trails this NamedTuple so pre-EMA
+    # train_state files upgrade by key injection (cli/train_image.py).
+    g_ema: dict
 
 
 def progan_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
@@ -60,10 +66,12 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
     g_params = pro_gan.init_generator(kg, config)
     d_params = pro_gan.init_discriminator(kd, config)
     opt = progan_optimizer(lr)
-    return ProGANTrainState(g_params, d_params, opt.init(g_params), opt.init(d_params))
+    return ProGANTrainState(
+        g_params, d_params, opt.init(g_params), opt.init(d_params), g_params
+    )
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "lr", "dtype"))
+@partial(jax.jit, static_argnames=("config", "stage", "lr", "dtype", "ema_beta"))
 def progan_train_step(
     state: ProGANTrainState,
     real_images: jax.Array,
@@ -73,9 +81,11 @@ def progan_train_step(
     stage: int,
     lr: float = 1e-3,
     dtype=jnp.float32,
+    ema_beta: float = 0.999,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
-    float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim]."""
+    float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
+    ``ema_beta`` is the generator-EMA decay (0 tracks the raw iterate)."""
     opt = progan_optimizer(lr)
 
     def d_loss_fn(d_params):
@@ -108,6 +118,9 @@ def progan_train_step(
     g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
     g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
+    g_ema = jax.tree.map(
+        lambda e, p: ema_beta * e + (1.0 - ema_beta) * p, state.g_ema, g_params
+    )
 
     metrics = {
         "d_loss": d_loss,
@@ -115,7 +128,7 @@ def progan_train_step(
         "real_logit": real_mean,
         "fake_logit": fake_mean,
     }
-    return ProGANTrainState(g_params, d_params, g_opt, d_opt), metrics
+    return ProGANTrainState(g_params, d_params, g_opt, d_opt, g_ema), metrics
 
 
 # ---------------------------------------------------------------------------

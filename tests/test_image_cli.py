@@ -95,3 +95,25 @@ def test_generate_images_cli_npz_output(capsys, tmp_path, image_ckpt_path):
     data = np.load(npz)["images"]
     assert data.shape == (2, 16, 16, 3)
     assert data.dtype == np.uint8
+
+
+def test_image_checkpoint_prefers_ema(tmp_path):
+    """load_image_checkpoint returns the EMA generator when stored (the
+    serving default) and the raw iterate with prefer_ema=False."""
+    path = str(tmp_path / "ema_ckpt.msgpack")
+    g = jax.tree.map(np.asarray, pro_gan.init_generator(jax.random.key(2), CFG))
+    ema = jax.tree.map(lambda x: x + 1.0, g)
+    save_image_checkpoint(path, CFG, g, g_ema=ema)
+
+    _, g_pref, _ = load_image_checkpoint(path)
+    _, g_raw, _ = load_image_checkpoint(path, prefer_ema=False)
+    np.testing.assert_array_equal(
+        g_pref["base_dense"]["w"], np.asarray(g["base_dense"]["w"]) + 1.0
+    )
+    np.testing.assert_array_equal(g_raw["base_dense"]["w"], g["base_dense"]["w"])
+
+    # No EMA stored -> both return the raw generator (back-compat).
+    path2 = str(tmp_path / "plain_ckpt.msgpack")
+    save_image_checkpoint(path2, CFG, g)
+    _, g2, _ = load_image_checkpoint(path2)
+    np.testing.assert_array_equal(g2["base_dense"]["w"], g["base_dense"]["w"])

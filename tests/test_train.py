@@ -458,3 +458,69 @@ def test_make_synthetic_kg_tool(tmp_path):
     key = train[:, 0].astype(np.int64) * 1000 + train[:, 1]
     _, counts = np.unique(key, return_counts=True)
     assert (counts > 1).any()
+
+
+def test_progan_train_step_updates_ema():
+    """g_ema must move toward the new params by exactly (1 - beta) of the
+    step delta, and ema_beta=0 must pin it to the raw iterate."""
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64, fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-2)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    real = jax.random.uniform(jax.random.key(1), (4, r, r, 3), minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.key(2), (4, cfg.latent_dim))
+
+    beta = 0.9
+    new_state, _ = train_engine.progan_train_step(
+        state, real, z, jnp.float32(1.0), cfg, stage, ema_beta=beta
+    )
+    # init seeds ema = params, so after one step: ema = beta*p0 + (1-beta)*p1
+    want = jax.tree.map(
+        lambda p0, p1: beta * p0 + (1 - beta) * p1,
+        state.g_params, new_state.g_params,
+    )
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(new_state.g_ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    raw_state, _ = train_engine.progan_train_step(
+        state, real, z, jnp.float32(1.0), cfg, stage, ema_beta=0.0
+    )
+    for a, b in zip(
+        jax.tree.leaves(raw_state.g_params), jax.tree.leaves(raw_state.g_ema)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_progan_pre_ema_train_state_upgrades_on_resume(tmp_path):
+    """A train_state.msgpack written before the g_ema field existed must
+    resume: the trainer injects g_ema = g_params into the state dict
+    (cli/train_image.py)."""
+    from flax import serialization
+
+    from probgan_tpu.core.train_state import load_train_state, save_train_state
+
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64, fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    path = str(tmp_path / "train_state.msgpack")
+    save_train_state(path, state, {"stage": 0, "history": {}})
+
+    # Strip g_ema to simulate the legacy file.
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    del payload["state"]["g_ema"]
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    with pytest.raises(ValueError):
+        load_train_state(path, state)
+
+    # The trainer's upgrade path:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    sd = payload["state"]
+    sd["g_ema"] = sd["g_params"]
+    restored = serialization.from_state_dict(state, sd)
+    for a, b in zip(
+        jax.tree.leaves(restored.g_ema), jax.tree.leaves(restored.g_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
