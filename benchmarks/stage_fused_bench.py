@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Stage-fused kernel (packed_upconv_conv) vs the two-kernel pair, per mode.
+
+Times one full generator stage (upsample2x -> conv1+act+norm -> conv2+act+
+norm) at the production stage-7 and stage-8 shapes, slope-timed over chained
+scans (benchmarks/RESULTS.md round-2 methodology). The fusion eliminates the
+conv1 feature tensor's HBM round-trip, so it should win exactly where the
+kernels are bandwidth-bound ("default"/"high") and tie-or-lose where they
+are MXU-pass-bound ("highest").
+
+Usage: python benchmarks/stage_fused_bench.py [--batch 8] [--chains 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--chains", type=int, default=4)
+    parser.add_argument("--modes", default="highest,high,default")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from probgan_tpu.ops import pallas_packed as pk
+
+    dev = jax.devices()[0]
+    rng = np.random.RandomState(0)
+
+    # (name, cin, c1, c2, h_in, w_in, p_in) — production 1024² late stages
+    shapes = [
+        ("stage7_256to512", 128, 64, 64, 256, 256, 1),
+        ("stage8_512to1024", 64, 32, 32, 512, 512, 2),
+    ]
+
+    def timed(fn, x0):
+        def chain(n):
+            def body(x, _):
+                y = fn(x)
+                # re-derive an input-shaped tensor so the loop can't hoist
+                x2 = x * (1.0 + 1e-12 * jnp.mean(y))
+                return x2, None
+
+            f = jax.jit(lambda x: jnp.sum(jax.lax.scan(body, x, None, length=n)[0]))
+            float(f(x0))  # compile
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(x0))
+                reps.append(time.perf_counter() - t0)
+            return min(reps)
+
+        n1, n2 = args.chains, 2 * args.chains
+        return 1000.0 * (chain(n2) - chain(n1)) / (n2 - n1)
+
+    for name, cin, c1, c2, h, w, p_in in shapes:
+        x0 = jax.device_put(
+            jnp.asarray(rng.standard_normal(
+                (args.batch, cin, h, w)).astype(np.float32)), dev)
+        w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.standard_normal((c1,)).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.standard_normal((c2,)).astype(np.float32))
+        # payload: read x + write out (the fused kernel's ideal traffic)
+        payload_gb = 4 * args.batch * h * w * (cin + 4 * c2) / 1e9
+
+        for mode in args.modes.split(","):
+            def unfused(x, m=mode):
+                f = pk.packed_upconv(x, w1, b1, p_in, mode=m)
+                return pk.packed_conv(f, w2, b2, 2 * p_in, mode=m)
+
+            def fused(x, m=mode):
+                return pk.packed_upconv_conv(x, w1, b1, w2, b2, p_in, mode=m)
+
+            ms_u = timed(unfused, x0)
+            ms_f = timed(fused, x0)
+            print(json.dumps({
+                "shape": name, "mode": mode, "batch": args.batch,
+                "ms_unfused": round(ms_u, 2), "ms_fused": round(ms_f, 2),
+                "speedup": round(ms_u / ms_f, 3),
+                "fused_payload_GBps": round(1000 * payload_gb / ms_f, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -280,10 +280,22 @@ def _g_late_packed(
     precision,
 ) -> jax.Array:
     """Run stages [s0, stage] with the phase-blocked Pallas kernels and
-    return the blended pre-tanh RGB in NHWC. Inference-only (no VJP)."""
+    return the blended pre-tanh RGB in NHWC. Inference-only (no VJP).
+
+    PROBGAN_STAGE_FUSED=1 opts into ONE stage-fused kernel per stage
+    (packed_upconv_conv / packed_upconv_conv_rgb) — conv1's feature map
+    never touches HBM (bitwise-identical results per mode; tests assert
+    it). Measured a WASH at the production shapes (0.90-1.16x per
+    stage/mode, benchmarks/stage_fused_bench.py): the late stages are
+    MXU-pass-bound at fp32-grade precision, not bandwidth-bound, and the
+    fused kernel re-computes 2 boundary conv1 row-pairs per panel — so the
+    two-kernel path stays the default."""
+    import os
+
     from probgan_tpu.ops import pallas_packed as pk
 
     mode = _PACKED_MODES[precision]
+    stage_fused = os.environ.get("PROBGAN_STAGE_FUSED", "0") == "1"
 
     def conv_w(p):  # eq-LR scale baked into the weights
         w = p["w"]
@@ -297,6 +309,23 @@ def _g_late_packed(
     p = 1
     for s in range(s0, stage + 1):
         block = params["blocks"][s - 1]
+        if stage_fused:
+            if s == stage:
+                rgb = pk.packed_upconv_conv_rgb(
+                    x, conv_w(block["conv1"]), block["conv1"]["b"],
+                    conv_w(block["conv2"]), block["conv2"]["b"],
+                    rgb_w(params["to_rgb"][s]), params["to_rgb"][s]["b"],
+                    rgb_w(params["to_rgb"][s - 1]),
+                    params["to_rgb"][s - 1]["b"],
+                    jnp.asarray(alpha, jnp.float32), p, mode=mode,
+                )
+                return pk.packed_rgb_to_nhwc(rgb, 2 * p)
+            x = pk.packed_upconv_conv(
+                x, conv_w(block["conv1"]), block["conv1"]["b"],
+                conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode,
+            )
+            p *= 2
+            continue
         if s == stage:
             feats, rgb_prev8 = pk.packed_upconv(
                 x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode,

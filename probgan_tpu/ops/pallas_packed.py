@@ -20,11 +20,14 @@ back to NHWC runs in XLA on the final small RGB tensor.
 Each kernel walks row panels with a 4-slot revolving buffer of manual HBM->
 VMEM DMAs: every R-row panel is fetched EXACTLY once (halo rows come from the
 neighboring resident panels; 3 panels resident + 1 in flight), double-buffered
-against compute. Per output row the 9 (or 8, for the fused upsample) conv taps
-are stacked into one tall ``[K, W]`` operand so the MXU runs a single large-K
-matmul instead of 9 [32,32]-sized dots (measured 3x faster than XLA's
-parity-grade NHWC chain at the 1024² final-stage shape;
-benchmarks/packed_conv_bench.py).
+against compute. Per output row the 9 conv taps are stacked into one tall
+``[K, W]`` operand so the MXU runs a single large-K matmul instead of 9
+[32,32]-sized dots (measured ~5x faster than XLA's parity-grade NHWC chain at
+the 1024² final-stage shape; benchmarks/packed_conv_bench.py). The fused
+upsample splits by output-column parity into TWO K=4C dots at input width
+(each output parity consumes only 2 of the 3 column taps; parity segregates
+into alternating phase blocks) — half the MXU work of the naive masked K=8C
+formulation.
 
 Precision modes (matching models/pro_gan.py's MXU ladder):
 - "highest": fp32 operands, Precision.HIGHEST (6-pass; fp32-accurate)
@@ -183,6 +186,20 @@ def _dup_blocks(row: jax.Array, p_in: int, wp: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def _interleave_blocks(even: jax.Array, odd: jax.Array, p_in: int,
+                       wp: int) -> jax.Array:
+    """Assemble [*, 2*P_in*Wp] from per-parity halves at input width:
+    output block 2m comes from ``even`` block m, block 2m+1 from ``odd``
+    block m. (Output column u = P_out*j + psi has parity psi % 2 because
+    P_out = 2*P_in is even — parity segregates into alternating phase
+    blocks, which is what makes the split-dot upconv assembly static.)"""
+    parts = []
+    for m in range(p_in):
+        parts.append(even[..., m * wp : (m + 1) * wp])
+        parts.append(odd[..., m * wp : (m + 1) * wp])
+    return jnp.concatenate(parts, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # revolver DMA scaffolding
 # ---------------------------------------------------------------------------
@@ -235,10 +252,52 @@ def _conv_row(get_row, wk, g, wp, mode, interpret):
     rows3 = jnp.concatenate(
         [get_row(g - 1), get_row(g), get_row(g + 1)], axis=0
     )  # [3C, W]
+    return _conv_rows3(rows3, wk, wp, mode, interpret)
+
+
+def _conv_rows3(rows3, wk, wp, mode, interpret):
+    """conv3x3 contraction given the stacked source rows [3C, W] (rows g-1,
+    g, g+1 channel-major — the layout _conv_row builds and the stage-fused
+    kernels read back from their VMEM intermediate ring)."""
     left = _shift_phase_minus(rows3, wp, interpret)
     right = _shift_phase_plus(rows3, wp, interpret)
     x_all = jnp.concatenate([left, rows3, right], axis=0)  # [9C, W]
     return _dot(wk, x_all, mode)
+
+
+def _upconv_rows(get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret):
+    """Post-activation output rows (2i, 2i+1) of the fused nearest-2x
+    upsample + conv3x3 + bias + LeakyReLU + PixelNorm, as a 2-list of
+    [Cout, W_out]. Shared by ``packed_upconv`` and the stage-fused kernels
+    so the two paths are bitwise identical per mode.
+
+    Output columns split by parity: even column 2v consumes input columns
+    (v-1, v) with col kernels (Kc0, Kc1+Kc2); odd column 2v+1 consumes
+    (v, v+1) with (Kc0+Kc1, Kc2). Parity segregates into alternating
+    output phase blocks, so each parity is ONE dot of K = 4C at input
+    width — half the MXU passes of the naive masked K = 8C formulation
+    (which multiplies zeros for the off-parity half) — assembled by a
+    static block interleave."""
+    rm1, r0, rp1 = get_row(i - 1), get_row(i), get_row(i + 1)
+    out = []
+    for p in range(2):  # output rows 2i+p
+        rows2 = jnp.concatenate(
+            [rm1, r0] if p == 0 else [r0, rp1], axis=0
+        )  # [2C, W_in]
+        xl = _shift_phase_minus(rows2, wp, interpret)
+        xr = _shift_phase_plus(rows2, wp, interpret)
+        even = _dot(
+            wk_ref[p, 0], jnp.concatenate([xl, rows2], axis=0), mode
+        ) + b_ref[0][:, None]
+        odd = _dot(
+            wk_ref[p, 1], jnp.concatenate([rows2, xr], axis=0), mode
+        ) + b_ref[0][:, None]
+        # act+norm are per-pixel over channels: applying per parity half
+        # then interleaving equals applying after assembly.
+        out.append(
+            _interleave_blocks(_act_norm(even), _act_norm(odd), p_in, wp)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -419,16 +478,16 @@ def packed_conv_rgb(
 # ---------------------------------------------------------------------------
 
 def prep_upconv_weights(w: jax.Array, mode: str) -> jax.Array:
-    """[3, 3, C, Cout] -> [2, (8C)*, Cout]: per output-row parity p, the
-    K-stacked masked-phase weights.
+    """[3, 3, C, Cout] -> [2, 2, (4C)*, Cout]: per output-row parity p and
+    output-COLUMN parity (even/odd), the K-stacked weights of the subpixel
+    decomposition (ops/fused_upconv.py) evaluated in phase-blocked lanes.
 
     Row parity p=0 consumes input rows (i-1, i) with row kernels
     (w[0], w[1]+w[2]); p=1 consumes (i, i+1) with (w[0]+w[1], w[2]).
-    Column parity is folded into lane masks on the operand: K blocks are
-    (rowA, rowB) x (xL*even, xC*even, xC*odd, xR*odd) against col kernels
-    (Kc0, Kc1+Kc2, Kc0+Kc1, Kc2) — the subpixel decomposition of
-    ops/fused_upconv.py evaluated in phase-blocked lanes."""
-    c, cout = w.shape[2], w.shape[3]
+    Column parity even pairs col kernels (Kc0, Kc1+Kc2) with operands
+    (x_left, x_center); odd pairs (Kc0+Kc1, Kc2) with (x_center, x_right).
+    K order is col-source MAJOR, row-tap minor — matching _upconv_rows's
+    operand concat where each entry is the [rowA(C); rowB(C)] stack."""
     rowk = [
         (w[0], w[1] + w[2]),  # p = 0: input rows (i-1, i)
         (w[0] + w[1], w[2]),  # p = 1: input rows (i, i+1)
@@ -440,12 +499,13 @@ def prep_upconv_weights(w: jax.Array, mode: str) -> jax.Array:
     out = []
     for p in range(2):
         ka, kb = (colk(rk) for rk in rowk[p])
-        # K order is col-source MAJOR, row-tap minor — matching the kernel's
-        # operand concat([xl*e, xc*e, xc*o, xr*o]) where each entry is the
-        # [rowA(C); rowB(C)] stack.
-        blocks = [ka[0], kb[0], ka[1], kb[1], ka[2], kb[2], ka[3], kb[3]]
-        wk = jnp.concatenate(blocks, axis=0)  # [8C, Cout]
-        out.append(stack_weights(wk, mode))
+        even = jnp.concatenate([ka[0], kb[0], ka[1], kb[1]], axis=0)  # [4C,·]
+        odd = jnp.concatenate([ka[2], kb[2], ka[3], kb[3]], axis=0)
+        out.append(
+            jnp.stack(
+                [stack_weights(even, mode), stack_weights(odd, mode)], axis=0
+            )
+        )
     return jnp.stack(out, axis=0)
 
 
@@ -488,47 +548,24 @@ def packed_upconv(
         bq = pl.program_id(0)
         j = pl.program_id(1)
         get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
-        w_out = 2 * wtot
-        lane = jax.lax.broadcasted_iota(jnp.int32, (2 * cin, w_out), 1)
-        even_blk = (lane // wp) % 2 == 0
 
         def row_body(t, _):
             i = j * r + t  # input row
-            rm1, r0, rp1 = get_row(i - 1), get_row(i), get_row(i + 1)
             if emit_rgb:
-                val = _dot(wrgb_ref[:], r0, mode) + brgb_ref[0][:, None]
+                val = _dot(wrgb_ref[:], get_row(i), mode) + brgb_ref[0][:, None]
                 rgbout_ref[0, :, pl.ds(t, 1), :] = val[:, None, :]
+            pair = _upconv_rows(
+                get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret
+            )
             for p in range(2):  # output rows 2i+p
-                rows2 = jnp.concatenate(
-                    [rm1, r0] if p == 0 else [r0, rp1], axis=0
-                )  # [2C, W_in]
-                xl = _dup_blocks(
-                    _shift_phase_minus(rows2, wp, interpret), p_in, wp
-                )
-                xc = _dup_blocks(rows2, p_in, wp)
-                xr = _dup_blocks(
-                    _shift_phase_plus(rows2, wp, interpret), p_in, wp
-                )
-                x_all = jnp.concatenate(
-                    [
-                        jnp.where(even_blk, xl, 0.0),
-                        jnp.where(even_blk, xc, 0.0),
-                        jnp.where(even_blk, 0.0, xc),
-                        jnp.where(even_blk, 0.0, xr),
-                    ],
-                    axis=0,
-                )  # [8C, W_out]
-                acc = _act_norm(
-                    _dot(wk_ref[p], x_all, mode) + b_ref[0][:, None]
-                )
-                out_ref[0, :, pl.ds(2 * t + p, 1), :] = acc[:, None, :]
+                out_ref[0, :, pl.ds(2 * t + p, 1), :] = pair[p][:, None, :]
             return 0
 
         jax.lax.fori_loop(0, r, row_body, 0)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0, 0),
+        pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cout), lambda b, j: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -570,13 +607,244 @@ def packed_upconv(
             ],
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 8 * bsz * h * (2 * wtot) * 2 * cin * cout,
+            flops=2 * 4 * bsz * h * (2 * wtot) * 2 * cin * cout,
             bytes_accessed=4 * bsz * h * wtot * (cin + 4 * cout),
             transcendentals=bsz * h * wtot * 4,
         ),
         interpret=interpret,
     )(*args)
     return result
+
+
+# ---------------------------------------------------------------------------
+# stage-fused kernels: upsample2x -> conv1 -> conv2 (-> toRGB + blend),
+# the whole generator stage in one pass — conv1's output rows live ONLY in a
+# VMEM ring, never in HBM. Eliminates the stage's intermediate feature
+# tensor (its largest): per-stage HBM traffic drops from
+# (read x + write feats + read feats + write out) to (read x + write out).
+# ---------------------------------------------------------------------------
+
+
+def _fill_mid_ring(get_row, wk1_ref, b1_ref, mid, j, r, h, p_in, wp,
+                   mode, interpret):
+    """Fill the VMEM intermediate ring with post-activation conv1 rows
+    [2jr-2, 2jr+2r+2): every intermediate row one conv2 output row of this
+    panel touches (plus 2 recomputed boundary rows — 2/(2r+4) overhead).
+    Ring slot for intermediate row m is m - 2jr + 2. Rows outside [0, 2h)
+    are zeroed (conv2's SAME padding)."""
+
+    def fill(t, _):
+        i = j * r - 1 + t  # input row; produces intermediate rows (2i, 2i+1)
+        pair = _upconv_rows(
+            get_row, wk1_ref, b1_ref, i, p_in, wp, mode, interpret
+        )
+        valid = jnp.logical_and(i >= 0, i < h)
+        mid[pl.ds(2 * t, 2)] = jnp.where(valid, jnp.stack(pair, axis=0), 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, r + 2, fill, 0)
+
+
+def packed_upconv_conv(
+    x: jax.Array,   # [B, C, H, P_in*Wp] phase-blocked fp32
+    w1: jax.Array,  # [3, 3, C, C1] eq-LR scaled (the stage's conv1)
+    b1: jax.Array,  # [C1]
+    w2: jax.Array,  # [3, 3, C1, C2] eq-LR scaled (the stage's conv2)
+    b2: jax.Array,  # [C2]
+    p_in: int,
+    *,
+    mode: str = "high",
+    rows_per_step: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """One full non-final generator stage, fused: nearest-2x upsample ->
+    conv1 + bias + LeakyReLU + PixelNorm -> conv2 + bias + LeakyReLU +
+    PixelNorm. [B, C, H, P_in*Wp] -> [B, C2, 2H, (2*P_in)*Wp]. Bitwise
+    identical per mode to packed_upconv followed by packed_conv (shared row
+    helpers); the conv1 feature map never exists in HBM."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    c1, c2 = w1.shape[-1], w2.shape[-1]
+    wp = wtot // p_in
+    w_out = 2 * wtot
+    r = rows_per_step
+    wk1_host = prep_upconv_weights(w1, mode)
+    wk2_host = prep_conv_weights(w2, mode)
+
+    def kern(x_hbm, wk1_ref, b1_ref, wk2_ref, b2_ref, out_ref, buf, sems, mid):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
+        _fill_mid_ring(get_row, wk1_ref, b1_ref, mid, j, r, h, p_in, wp,
+                       mode, interpret)
+
+        def out_body(t2, _):
+            # conv2 output row g = 2jr + t2 needs ring slots t2+1 .. t2+3
+            rows3 = jnp.concatenate(
+                [mid[pl.ds(t2 + 1 + o, 1), :, :][0] for o in range(3)], axis=0
+            )  # [3*C1, W_out]: intermediate rows (g-1, g, g+1)
+            acc = _conv_rows3(rows3, wk2_ref[:], wp, mode, interpret)
+            acc = _act_norm(acc + b2_ref[0][:, None])
+            out_ref[0, :, pl.ds(t2, 1), :] = acc[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, 2 * r, out_body, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, c2, 2 * h, w_out), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(wk1_host.shape, lambda b, j: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c1), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wk2_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c2), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, c2, 2 * r, w_out), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+                pltpu.VMEM((2 * r + 4, c1, w_out), jnp.float32),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                2 * 4 * bsz * h * w_out * 2 * cin * c1
+                + 2 * 9 * bsz * (2 * h) * w_out * c1 * c2
+            ),
+            bytes_accessed=4 * bsz * h * wtot * (cin + 4 * c2),
+            transcendentals=bsz * h * wtot * 8,
+        ),
+        interpret=interpret,
+    )(x, wk1_host, b1.reshape(1, -1), wk2_host, b2.reshape(1, -1))
+
+
+def packed_upconv_conv_rgb(
+    x: jax.Array,          # [B, C, H, P_in*Wp] phase-blocked fp32
+    w1: jax.Array,         # [3, 3, C, C1] eq-LR scaled
+    b1: jax.Array,         # [C1]
+    w2: jax.Array,         # [3, 3, C1, C2] eq-LR scaled
+    b2: jax.Array,         # [C2]
+    rgb_w: jax.Array,      # [C2, 3] eq-LR toRGB of THIS stage (gain 1)
+    rgb_b: jax.Array,      # [3]
+    prev_rgb_w: jax.Array, # [C, 3] eq-LR toRGB of the PREVIOUS stage
+    prev_rgb_b: jax.Array, # [3]
+    alpha: jax.Array,      # scalar
+    p_in: int,
+    *,
+    mode: str = "high",
+    rows_per_step: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """The ENTIRE final generator stage in one kernel: upsample2x -> conv1
+    (+act+norm) -> conv2 (+act+norm) -> toRGB -> progressive alpha blend
+    with toRGB(input) upsampled — all from one read of the stage input; the
+    only HBM write is the blended [B, 8(3), 2H, 2*P_in*Wp] RGB. The
+    previous-stage RGB is computed in VMEM from the resident input rows
+    (models/pro_gan.py generator_rgb: out = prev + alpha * (rgb - prev))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    c1, c2 = w1.shape[-1], w2.shape[-1]
+    wp = wtot // p_in
+    w_out = 2 * wtot
+    r = rows_per_step
+    wk1_host = prep_upconv_weights(w1, mode)
+    wk2_host = prep_conv_weights(w2, mode)
+    wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)
+    wprev_host = stack_weights(jnp.pad(prev_rgb_w, ((0, 0), (0, 5))), mode)
+    rgb_b8 = jnp.pad(rgb_b, (0, 5))
+    prev_b8 = jnp.pad(prev_rgb_b, (0, 5))
+
+    def kern(x_hbm, wk1_ref, b1_ref, wk2_ref, b2_ref, wrgb_ref, brgb_ref,
+             wprev_ref, bprev_ref, alpha_ref, out_ref, buf, sems, mid):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r)
+        a = alpha_ref[0, 0]
+        _fill_mid_ring(get_row, wk1_ref, b1_ref, mid, j, r, h, p_in, wp,
+                       mode, interpret)
+
+        def out_body(t2, _):
+            rows3 = jnp.concatenate(
+                [mid[pl.ds(t2 + 1 + o, 1), :, :][0] for o in range(3)], axis=0
+            )  # [3*C1, W_out]: intermediate rows (g-1, g, g+1)
+            acc = _conv_rows3(rows3, wk2_ref[:], wp, mode, interpret)
+            acc = _act_norm(acc + b2_ref[0][:, None])
+            rgb = _dot(wrgb_ref[:], acc, mode) + brgb_ref[0][:, None]  # [8,W]
+            # prev RGB: toRGB_{s-1} of input row (2jr+t2)//2 = jr + t2//2,
+            # duplicated to output width (nearest-2x of the previous stage's
+            # RGB, computed from the already-resident input rows).
+            in_row = get_row(j * r + t2 // 2)
+            prev = _dot(wprev_ref[:], in_row, mode) + bprev_ref[0][:, None]
+            prev = _dup_blocks(prev, p_in, wp)  # [8, W_out]
+            out = prev + a * (rgb - prev)
+            out_ref[0, :, pl.ds(t2, 1), :] = out[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, 2 * r, out_body, 0)
+
+    rgb8 = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, 8, 2 * h, w_out), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(wk1_host.shape, lambda b, j: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c1), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wk2_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c2), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wrgb_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(wprev_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 2 * r, w_out), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+                pltpu.VMEM((2 * r + 4, c1, w_out), jnp.float32),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(
+                2 * 4 * bsz * h * w_out * 2 * cin * c1
+                + 2 * bsz * (2 * h) * w_out * c1 * (9 * c2 + 8)
+            ),
+            bytes_accessed=4 * bsz * h * wtot * (cin + 4 * 8),
+            transcendentals=bsz * h * wtot * 8,
+        ),
+        interpret=interpret,
+    )(
+        x, wk1_host, b1.reshape(1, -1), wk2_host, b2.reshape(1, -1),
+        wrgb_host, rgb_b8.reshape(1, -1), wprev_host, prev_b8.reshape(1, -1),
+        jnp.asarray(alpha, jnp.float32).reshape(1, 1),
+    )
+    return rgb8[:, :3]
 
 
 # ---------------------------------------------------------------------------

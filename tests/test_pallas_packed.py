@@ -321,3 +321,121 @@ def test_packed_gate_rejects_small_configs():
         pro_gan.generator_rgb(params, z, cfg, cfg.num_stages - 1, packed=True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_stage_fused_upconv_conv_parity():
+    """packed_upconv_conv (one kernel per stage) must be BITWISE identical
+    to packed_upconv -> packed_conv (shared row helpers; the only difference
+    is where conv1's rows live), and match the XLA reference chain."""
+    b, c, c1, c2, h, w = 1, 8, 8, 8, 8, 16
+    p_in = 2
+    x = _rand((b, h, w, c), 40)
+    w1 = _rand((3, 3, c, c1), 41, 0.2)
+    b1 = _rand((c1,), 42)
+    w2 = _rand((3, 3, c1, c2), 43, 0.2)
+    b2 = _rand((c2,), 44)
+
+    xp = jnp.asarray(phase_block(x, p_in))
+    feats = pk.packed_upconv(
+        xp, jnp.asarray(w1), jnp.asarray(b1), p_in, mode="highest",
+        rows_per_step=4, interpret=True,
+    )
+    want_unfused = np.asarray(
+        pk.packed_conv(
+            feats, jnp.asarray(w2), jnp.asarray(b2), 2 * p_in,
+            mode="highest", interpret=True,
+        )
+    )
+    got = np.asarray(
+        pk.packed_upconv_conv(
+            xp, jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2),
+            jnp.asarray(b2), p_in, mode="highest", rows_per_step=4,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want_unfused)
+
+    def ref(x):
+        return ref_conv(ref_conv(pro_gan.upsample_nearest_2x(x), w1, b1),
+                        w2, b2)
+
+    want = np.asarray(jax.jit(ref)(x))
+    np.testing.assert_allclose(
+        unphase(got, 2 * p_in), want, rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.4])
+def test_stage_fused_rgb_parity(alpha):
+    """packed_upconv_conv_rgb (the whole final stage in one kernel) must be
+    bitwise identical to the unfused packed pair + conv_rgb, and match the
+    XLA reference chain including the progressive blend."""
+    b, c, c1, c2, h, w = 1, 8, 8, 8, 16, 32
+    p_in = 2
+    x = _rand((b, h, w, c), 50)
+    w1 = _rand((3, 3, c, c1), 51, 0.2)
+    b1 = _rand((c1,), 52)
+    w2 = _rand((3, 3, c1, c2), 53, 0.2)
+    b2 = _rand((c2,), 54)
+    rgb_w = _rand((c2, 3), 55, 0.3)
+    rgb_b = _rand((3,), 56)
+    prev_w = _rand((c, 3), 57, 0.3)
+    prev_b = _rand((3,), 58)
+
+    xp = jnp.asarray(phase_block(x, p_in))
+    feats, rgb_prev8 = pk.packed_upconv(
+        xp, jnp.asarray(w1), jnp.asarray(b1), p_in, mode="highest",
+        rows_per_step=8, interpret=True,
+        rgb_w=jnp.asarray(prev_w), rgb_b=jnp.asarray(prev_b),
+    )
+    want_unfused = np.asarray(
+        pk.packed_conv_rgb(
+            feats, jnp.asarray(w2), jnp.asarray(b2), jnp.asarray(rgb_w),
+            jnp.asarray(rgb_b), rgb_prev8, jnp.float32(alpha), 2 * p_in,
+            mode="highest", interpret=True,
+        )
+    )
+    got = np.asarray(
+        pk.packed_upconv_conv_rgb(
+            xp, jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2),
+            jnp.asarray(b2), jnp.asarray(rgb_w), jnp.asarray(rgb_b),
+            jnp.asarray(prev_w), jnp.asarray(prev_b), jnp.float32(alpha),
+            p_in, mode="highest", rows_per_step=8, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(got, want_unfused)
+
+    def ref(x):
+        feat = ref_conv(
+            ref_conv(pro_gan.upsample_nearest_2x(x), w1, b1), w2, b2
+        )
+        rgb = feat @ rgb_w + rgb_b
+        prev_up = pro_gan.upsample_nearest_2x(x @ prev_w + prev_b)
+        return prev_up + alpha * (rgb - prev_up)
+
+    want = np.asarray(jax.jit(ref)(x))
+    np.testing.assert_allclose(
+        unphase(got, 2 * p_in), want, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_generator_stage_fused_matches_unfused(monkeypatch):
+    """The PROBGAN_STAGE_FUSED escape hatch: both packed paths produce
+    bitwise-identical generator output through the real model."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    params = pro_gan.init_generator(jax.random.key(3), cfg)
+    z = jax.random.normal(jax.random.key(4), (1, cfg.latent_dim), jnp.float32)
+
+    monkeypatch.setenv("PROBGAN_STAGE_FUSED", "1")
+    fused = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, 0.6,
+                              precision="highest", packed=True)
+    )
+    monkeypatch.setenv("PROBGAN_STAGE_FUSED", "0")
+    unfused = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, 0.6,
+                              precision="highest", packed=True)
+    )
+    np.testing.assert_array_equal(fused, unfused)
