@@ -40,7 +40,10 @@ def main() -> None:
     rng = np.random.RandomState(0)
 
     # (name, cin, c1, c2, h_in, w_in, p_in) — production 1024² late stages
+    # (stage6 is the XLA/packed boundary candidate: nf=128 wastes no NHWC
+    # lanes, so XLA is at its best there — measured 8.4 ms at b8)
     shapes = [
+        ("stage6_128to256", 256, 128, 128, 128, 128, 1),
         ("stage7_256to512", 128, 64, 64, 256, 256, 1),
         ("stage8_512to1024", 64, 32, 32, 512, 512, 2),
     ]
@@ -84,14 +87,53 @@ def main() -> None:
             def fused(x, m=mode):
                 return pk.packed_upconv_conv(x, w1, b1, w2, b2, p_in, mode=m)
 
-            ms_u = timed(unfused, x0)
-            ms_f = timed(fused, x0)
+            def measure(fn):
+                try:
+                    return timed(fn, x0)
+                except Exception as e:  # e.g. VMEM OOM at large shapes
+                    print(f"  {name}/{mode}: {type(e).__name__}: "
+                          f"{str(e)[:120]}", file=sys.stderr, flush=True)
+                    return None
+
+            ms_u = measure(unfused)
+            ms_f = measure(fused)
             print(json.dumps({
                 "shape": name, "mode": mode, "batch": args.batch,
-                "ms_unfused": round(ms_u, 2), "ms_fused": round(ms_f, 2),
-                "speedup": round(ms_u / ms_f, 3),
-                "fused_payload_GBps": round(1000 * payload_gb / ms_f, 1),
+                "ms_unfused": ms_u and round(ms_u, 2),
+                "ms_fused": ms_f and round(ms_f, 2),
+                "speedup": (ms_u and ms_f) and round(ms_u / ms_f, 3),
+                "fused_payload_GBps":
+                    ms_f and round(1000 * payload_gb / ms_f, 1),
             }), flush=True)
+
+        # XLA reference chain on the same stage (NHWC, HIGHEST precision) —
+        # the path the generator uses when the packed gate declines a stage.
+        from probgan_tpu.models import pro_gan
+
+        def xla_chain(x_nhwc):
+            scale1 = 1.0  # weights here are synthetic; eq-LR scale folded in
+            y = jax.lax.conv_general_dilated(
+                pro_gan.upsample_nearest_2x(x_nhwc), w1, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            ) + b1
+            y = pro_gan.pixel_norm(pro_gan.lrelu(y)) * scale1
+            y = jax.lax.conv_general_dilated(
+                y, w2, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            ) + b2
+            return pro_gan.pixel_norm(pro_gan.lrelu(y))
+
+        x_nhwc = jnp.transpose(x0, (0, 2, 3, 1))  # packed P=1 -> NHWC
+        try:
+            ms_x = timed(xla_chain, x_nhwc)
+            print(json.dumps({
+                "shape": name, "mode": "xla_highest_nhwc",
+                "batch": args.batch, "ms": round(ms_x, 2),
+            }), flush=True)
+        except Exception as e:
+            print(f"  {name}/xla: {type(e).__name__}", file=sys.stderr)
 
 
 if __name__ == "__main__":
