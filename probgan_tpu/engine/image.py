@@ -69,12 +69,18 @@ def generate_fn(
     return pro_gan.to_uint8(rgb)
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "dtype", "precision"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "stage", "dtype", "precision", "packed"),
+)
 def score_fn(d_params, images, alpha, config: pro_gan.ProGANConfig, stage: int,
-             dtype=jnp.float32, precision=None):
-    """Float images (~[-1, 1]) -> realness logits [B]."""
+             dtype=jnp.float32, precision=None, packed: bool = False):
+    """Float images (~[-1, 1]) -> realness logits [B]. ``packed`` routes the
+    leading lane-wasteful D stages through the phase-blocked Pallas kernels
+    (scoring only — training always uses the XLA path)."""
     return pro_gan.discriminator_apply(
-        d_params, images, config, stage, alpha, dtype, precision
+        d_params, images, config, stage, alpha, dtype, precision,
+        packed=packed,
     )
 
 
@@ -214,7 +220,10 @@ class ImageGANEngine:
         with task_trace("score_images"):
             return np.asarray(
                 jax.device_get(
-                    score_fn(self.d_params, x, jnp.float32(alpha), self.config, stage, self.dtype)
+                    score_fn(
+                        self.d_params, x, jnp.float32(alpha), self.config,
+                        stage, self.dtype, None, self.packed,
+                    )
                 )
             )
 

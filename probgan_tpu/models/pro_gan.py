@@ -447,6 +447,74 @@ def _d_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
     return downsample_avg_2x(x)
 
 
+def packed_d_stage_count(config: ProGANConfig, stage: int) -> int:
+    """Number of leading discriminator stages (from ``stage`` down) the
+    phase-blocked Pallas path takes — consecutive stages whose channel
+    counts are lane-wasteful in NHWC (nf <= 64) and 8-aligned, at
+    resolutions >= 256 so the lane count stays 128-aligned. 0 = all-XLA."""
+    n = 0
+    s = stage
+    while (
+        s >= 1
+        and config.nf(s) <= 64
+        and config.nf(s) % 8 == 0
+        and config.nf(s - 1) % 8 == 0
+        and stage_resolution(s) >= 256
+    ):
+        n += 1
+        s -= 1
+    return n
+
+
+def _d_early_packed(
+    params: dict,
+    image: jax.Array,  # [B, R, R, 3] float, fp32
+    config: ProGANConfig,
+    stage: int,
+    alpha,
+    precision,
+    n: int,
+) -> jax.Array:
+    """Run fromRGB + the first ``n`` discriminator blocks with the
+    phase-blocked Pallas kernels (conv epilogue "lrelu", pool fused into
+    conv2); returns NHWC features at stage ``stage - n``. The phase count
+    enters at P = 2^n and HALVES at each pool (column pooling is a
+    phase-block pair average), exiting at P = 1. Inference-only (no VJP)."""
+    from probgan_tpu.ops import pallas_packed as pk
+
+    mode = _PACKED_MODES[precision]
+    p = 2 ** n
+
+    def conv_w(pr):
+        w = pr["w"]
+        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+
+    x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
+    xp = pk.nhwc_to_phase_blocked(x.astype(jnp.float32), p)
+    for s in range(stage, stage - n, -1):
+        block = params["blocks"][s - 1]
+        xp = pk.packed_conv(
+            xp, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode,
+            epilogue="lrelu",
+        )
+        xp = pk.packed_convpool(
+            xp, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode
+        )
+        p //= 2
+        if s == stage and stage > 0:
+            skip = lrelu(
+                eq_conv(
+                    params["from_rgb"][stage - 1],
+                    downsample_avg_2x(image),
+                    precision=precision,
+                )
+            )
+            skip_p = pk.nhwc_to_phase_blocked(skip.astype(jnp.float32), p)
+            a = jnp.asarray(alpha, jnp.float32)
+            xp = skip_p + a * (xp - skip_p)
+    return pk.packed_rgb_to_nhwc(xp, 1)  # p == 1 after n pools
+
+
 def discriminator_apply(
     params: dict,
     image: jax.Array,
@@ -456,17 +524,27 @@ def discriminator_apply(
     dtype=jnp.float32,
     precision=None,
     remat: bool = False,
+    packed: bool = False,
 ) -> jax.Array:
     """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
     realness logit [B]. Mirrors the generator's progressive blend: after the
     first down block, lerp with fromRGB of the downsampled image.
-    ``remat``: see generator_features."""
+    ``remat``: see generator_features. ``packed=True`` routes the leading
+    lane-wasteful stages (packed_d_stage_count) through the phase-blocked
+    Pallas kernels — inference/scoring only (no VJP); training and non-fp32
+    dtypes use the XLA path regardless."""
     image = image.astype(dtype)
     block_fn = _d_block
     if remat:
         block_fn = jax.checkpoint(_d_block, static_argnums=(2,))
-    x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
-    for s in range(stage, 0, -1):
+    n = 0
+    if packed and dtype == jnp.float32:
+        n = packed_d_stage_count(config, stage)
+    if n > 0:
+        x = _d_early_packed(params, image, config, stage, alpha, precision, n)
+    else:
+        x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
+    for s in range(stage - n, 0, -1):
         x = block_fn(params["blocks"][s - 1], x, precision)
         if s == stage and stage > 0:
             skip = lrelu(

@@ -135,12 +135,26 @@ def _dot(wk: jax.Array, x_all: jax.Array, mode: str) -> jax.Array:
     )
 
 
+def _lrelu(acc: jax.Array) -> jax.Array:
+    return jnp.where(acc >= 0, acc, LRELU_SLOPE * acc)
+
+
 def _act_norm(acc: jax.Array) -> jax.Array:
     """LeakyReLU + PixelNorm over the channel axis 0 of [Cout, W]."""
-    acc = jnp.where(acc >= 0, acc, LRELU_SLOPE * acc)
+    acc = _lrelu(acc)
     return acc * jax.lax.rsqrt(
         jnp.mean(acc * acc, axis=0, keepdims=True) + _PIXELNORM_EPS
     )
+
+
+def _epilogue_fn(epilogue: str):
+    """Post-conv activation: "lrelu_norm" (generator blocks) or "lrelu"
+    (discriminator blocks — ProGAN's D has no PixelNorm)."""
+    if epilogue == "lrelu_norm":
+        return _act_norm
+    if epilogue == "lrelu":
+        return _lrelu
+    raise ValueError(f"unknown epilogue {epilogue!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -219,7 +233,8 @@ def _revolver(x_hbm, buf, sems, b, j, npanels, r):
     @pl.when(j == 0)
     def _():
         dma(0).start()
-        dma(1).start()
+        if npanels > 1:  # static: a 1-panel grid has no panel to prefetch
+            dma(1).start()
 
     @pl.when(j + 2 < npanels)
     def _():
@@ -321,8 +336,10 @@ def packed_conv(
     mode: str = "high",
     rows_per_step: int = 8,
     interpret: bool | None = None,
+    epilogue: str = "lrelu_norm",
 ) -> jax.Array:
-    """Fused SAME conv3x3 + bias + LeakyReLU + PixelNorm; phase-preserving."""
+    """Fused SAME conv3x3 + bias + activation epilogue; phase-preserving.
+    ``epilogue``: "lrelu_norm" (generator) or "lrelu" (discriminator)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, cin, h, wtot = x.shape
@@ -330,6 +347,7 @@ def packed_conv(
     wp = wtot // p
     r = rows_per_step
     wk_host = prep_conv_weights(w, mode)
+    act = _epilogue_fn(epilogue)
 
     def kern(x_hbm, wk_ref, b_ref, out_ref, buf, sems):
         bq = pl.program_id(0)
@@ -338,7 +356,7 @@ def packed_conv(
 
         def row_body(t, _):
             acc = _conv_row(get_row, wk_ref[:], j * r + t, wp, mode, interpret)
-            acc = _act_norm(acc + b_ref[0][:, None])
+            acc = act(acc + b_ref[0][:, None])
             out_ref[0, :, pl.ds(t, 1), :] = acc[:, None, :]
             return 0
 
@@ -369,6 +387,100 @@ def packed_conv(
             flops=2 * 9 * bsz * h * wtot * cin * cout,
             bytes_accessed=4 * bsz * h * wtot * (cin + cout),
             transcendentals=bsz * h * wtot,
+        ),
+        interpret=interpret,
+    )(x, wk_host, b.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# discriminator block tail: conv3x3 + bias + LeakyReLU + 2x2 avg-pool
+# ---------------------------------------------------------------------------
+
+def packed_convpool(
+    x: jax.Array,   # [B, C, H, P*Wp] phase-blocked fp32, P even
+    w: jax.Array,   # [3, 3, C, Cout] eq-LR scaled
+    b: jax.Array,   # [Cout]
+    p: int,
+    *,
+    mode: str = "high",
+    rows_per_step: int = 8,  # OUTPUT rows per grid step (16 input rows);
+                             # must stay a multiple of 8 (output sublanes)
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused SAME conv3x3 + bias + LeakyReLU + 2x2 mean pool:
+    [B, C, H, P*Wp] -> [B, Cout, H/2, (P/2)*Wp]. The discriminator block
+    tail (models/pro_gan.py _d_block) — the full-resolution conv output is
+    never written to HBM, only the pooled half-resolution tensor.
+
+    Column pooling is a phase-block pair average (adjacent columns 2v, 2v+1
+    live in phase blocks 2m, 2m+1 at the same lane offset — the inverse of
+    the upsample's block duplication), so the phase count HALVES per pool:
+    the packed discriminator path enters at P = 2^n_packed_stages and exits
+    at P = 1. Requires P even."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if p % 2 != 0:
+        raise ValueError(f"packed_convpool needs an even phase count, got {p}")
+    bsz, cin, h, wtot = x.shape
+    cout = w.shape[-1]
+    wp = wtot // p
+    rout = rows_per_step
+    r_in = 2 * rout
+    wk_host = prep_conv_weights(w, mode)
+
+    def kern(x_hbm, wk_ref, b_ref, out_ref, buf, sems):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, pl.num_programs(1), r_in)
+
+        def row_body(t, _):
+            g = j * rout + t  # output row; consumes conv rows (2g, 2g+1)
+            l0 = _lrelu(
+                _conv_row(get_row, wk_ref[:], 2 * g, wp, mode, interpret)
+                + b_ref[0][:, None]
+            )
+            l1 = _lrelu(
+                _conv_row(get_row, wk_ref[:], 2 * g + 1, wp, mode, interpret)
+                + b_ref[0][:, None]
+            )
+            ra = 0.5 * (l0 + l1)  # row-pair mean [Cout, P*Wp]
+            halves = [
+                0.5 * (ra[:, (2 * m) * wp : (2 * m + 1) * wp]
+                       + ra[:, (2 * m + 1) * wp : (2 * m + 2) * wp])
+                for m in range(p // 2)
+            ]
+            acc = jnp.concatenate(halves, axis=-1)  # [Cout, (P/2)*Wp]
+            out_ref[0, :, pl.ds(t, 1), :] = acc[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, rout, row_body, 0)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, h // 2, wtot // 2),
+                                       jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, (h // 2) // rout),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(wk_host.shape, lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cout), lambda b, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cout, rout, wtot // 2), lambda b, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r_in, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * wtot * cin * cout,
+            bytes_accessed=4 * bsz * h * wtot * (cin + cout // 4),
+            transcendentals=0,
         ),
         interpret=interpret,
     )(x, wk_host, b.reshape(1, -1))
@@ -854,6 +966,17 @@ def packed_upconv_conv_rgb(
 def nhwc_to_packed(x: jax.Array) -> jax.Array:
     """[B, H, W, C] -> [B, C, H, W] (phase-blocked with P=1)."""
     return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def nhwc_to_phase_blocked(x: jax.Array, p: int) -> jax.Array:
+    """[B, H, W, C] -> [B, C, H, P*Wp] phase-blocked (full column u = P*j +
+    psi at lane psi*Wp + j) — the XLA-side entry transform for the packed
+    discriminator path, which starts at P = 2^n and halves P per pool."""
+    bsz, h, w, c = x.shape
+    wp = w // p
+    xr = x.reshape(bsz, h, wp, p, c)       # [..., j, psi, c]: col = p*j + psi
+    xr = jnp.transpose(xr, (0, 4, 1, 3, 2))  # [B, C, H, P, Wp]
+    return xr.reshape(bsz, c, h, p * wp)
 
 
 def packed_rgb_to_nhwc(rgb: jax.Array, p: int) -> jax.Array:

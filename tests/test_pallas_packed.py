@@ -439,3 +439,111 @@ def test_generator_stage_fused_matches_unfused(monkeypatch):
                               precision="highest", packed=True)
     )
     np.testing.assert_array_equal(fused, unfused)
+
+
+def test_packed_conv_lrelu_epilogue():
+    """epilogue="lrelu" must match conv+bias+LeakyReLU without PixelNorm
+    (the discriminator block's conv1)."""
+    b, c, cout, h, w = 1, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 60)
+    wgt = _rand((3, 3, c, cout), 61, 0.2)
+    bias = _rand((cout,), 62)
+
+    def ref(x):
+        y = jax.lax.conv_general_dilated(
+            x, wgt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + bias
+        return pro_gan.lrelu(y)
+
+    want = np.asarray(jax.jit(ref)(x))
+    got = unphase(
+        np.asarray(
+            pk.packed_conv(
+                jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt),
+                jnp.asarray(bias), 2, mode="highest", epilogue="lrelu",
+                interpret=True,
+            )
+        ),
+        2,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_packed_convpool_parity(p):
+    """conv3x3 + bias + LeakyReLU + 2x2 mean pool in one kernel: the phase
+    count halves (column pooling = phase-block pair average)."""
+    b, c, cout, h, w = 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 63)
+    wgt = _rand((3, 3, c, cout), 64, 0.2)
+    bias = _rand((cout,), 65)
+
+    def ref(x):
+        y = jax.lax.conv_general_dilated(
+            x, wgt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + bias
+        return pro_gan.downsample_avg_2x(pro_gan.lrelu(y))
+
+    want = np.asarray(jax.jit(ref)(x))
+    got = unphase(
+        np.asarray(
+            pk.packed_convpool(
+                jnp.asarray(phase_block(x, p)), jnp.asarray(wgt),
+                jnp.asarray(bias), p, mode="highest", rows_per_step=8,
+                interpret=True,
+            )
+        ),
+        p // 2,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_nhwc_to_phase_blocked_roundtrip():
+    x = _rand((2, 8, 32, 8), 66)
+    for p in (1, 2, 4):
+        pb = np.asarray(pk.nhwc_to_phase_blocked(jnp.asarray(x), p))
+        np.testing.assert_array_equal(pb, phase_block(x, p))
+        np.testing.assert_allclose(unphase(pb, p), x)
+
+
+@pytest.mark.parametrize("alpha", [1.0, 0.5])
+def test_discriminator_packed_end_to_end(alpha):
+    """discriminator_apply(packed=True) must match the XLA path through the
+    real D at a 512² config where the packed gate engages."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=2048,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    n = pro_gan.packed_d_stage_count(cfg, stage)
+    assert n >= 2  # nf(7)=16, nf(6)=32, nf(5)=64 ... down to res 256
+    params = pro_gan.init_discriminator(jax.random.key(5), cfg)
+    img = jax.random.uniform(
+        jax.random.key(6), (2, 512, 512, 3), jnp.float32, -1.0, 1.0
+    )
+    want = np.asarray(
+        pro_gan.discriminator_apply(params, img, cfg, stage, alpha,
+                                    precision="highest")
+    )
+    got = np.asarray(
+        pro_gan.discriminator_apply(params, img, cfg, stage, alpha,
+                                    precision="highest", packed=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_packed_d_gate_rejects_small_configs():
+    cfg = pro_gan.ProGANConfig(resolution=64, latent_dim=16, fmap_base=64,
+                               fmap_max=32)
+    assert pro_gan.packed_d_stage_count(cfg, cfg.num_stages - 1) == 0
+    params = pro_gan.init_discriminator(jax.random.key(7), cfg)
+    img = jax.random.uniform(
+        jax.random.key(8), (1, 64, 64, 3), jnp.float32, -1.0, 1.0
+    )
+    a = np.asarray(pro_gan.discriminator_apply(params, img, cfg, 4, 1.0))
+    b = np.asarray(
+        pro_gan.discriminator_apply(params, img, cfg, 4, 1.0, packed=True)
+    )
+    np.testing.assert_array_equal(a, b)
