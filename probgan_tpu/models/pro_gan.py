@@ -447,11 +447,31 @@ def _d_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
     return downsample_avg_2x(x)
 
 
-def packed_d_stage_count(config: ProGANConfig, stage: int) -> int:
+# Ladder mapping for the packed DISCRIMINATOR path. Unlike the generator's
+# map (which promotes "high" to the kernels' fp32-exact mode for golden-grade
+# image parity), D logits need no such grade: "high" maps to the kernels'
+# 3-term split — the same accuracy class as XLA's Precision.HIGH it replaces.
+# Measured at 1024² b8 (benchmarks/d_score_bench.py): packed wins 1.40x at
+# "highest" like-for-like; at "default" (1-pass bf16) XLA's fused conv+pool
+# wins 1.12x, so the packed gate declines that mode.
+_PACKED_MODES_D = {
+    "high": "high",
+    jax.lax.Precision.HIGH: "high",
+    "highest": "highest",
+    jax.lax.Precision.HIGHEST: "highest",
+}
+
+
+def packed_d_stage_count(
+    config: ProGANConfig, stage: int, precision="highest"
+) -> int:
     """Number of leading discriminator stages (from ``stage`` down) the
     phase-blocked Pallas path takes — consecutive stages whose channel
     counts are lane-wasteful in NHWC (nf <= 64) and 8-aligned, at
-    resolutions >= 256 so the lane count stays 128-aligned. 0 = all-XLA."""
+    resolutions >= 256 so the lane count stays 128-aligned. 0 = all-XLA
+    (always 0 for precisions outside _PACKED_MODES_D)."""
+    if precision not in _PACKED_MODES_D:
+        return 0
     n = 0
     s = stage
     while (
@@ -482,7 +502,7 @@ def _d_early_packed(
     phase-block pair average), exiting at P = 1. Inference-only (no VJP)."""
     from probgan_tpu.ops import pallas_packed as pk
 
-    mode = _PACKED_MODES[precision]
+    mode = _PACKED_MODES_D[precision]
     p = 2 ** n
 
     def conv_w(pr):
@@ -539,7 +559,7 @@ def discriminator_apply(
         block_fn = jax.checkpoint(_d_block, static_argnums=(2,))
     n = 0
     if packed and dtype == jnp.float32:
-        n = packed_d_stage_count(config, stage)
+        n = packed_d_stage_count(config, stage, precision)
     if n > 0:
         x = _d_early_packed(params, image, config, stage, alpha, precision, n)
     else:

@@ -547,3 +547,34 @@ def test_packed_d_gate_rejects_small_configs():
         pro_gan.discriminator_apply(params, img, cfg, 4, 1.0, packed=True)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_discriminator_packed_high_ladder():
+    """At ladder precision "high" the D path maps to the kernels' 3-term
+    split mode (no fp32 promotion — logits need no golden grade); the
+    result must stay close to the fp32 reference at split-mode accuracy."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=2048,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    params = pro_gan.init_discriminator(jax.random.key(9), cfg)
+    img = jax.random.uniform(
+        jax.random.key(10), (2, 512, 512, 3), jnp.float32, -1.0, 1.0
+    )
+    want = np.asarray(
+        pro_gan.discriminator_apply(params, img, cfg, stage, 1.0,
+                                    precision="highest")
+    )
+    got = np.asarray(
+        pro_gan.discriminator_apply(params, img, cfg, stage, 1.0,
+                                    precision="high", packed=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_packed_d_gate_declines_default_precision():
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=2048,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    assert pro_gan.packed_d_stage_count(cfg, stage, "highest") >= 2
+    assert pro_gan.packed_d_stage_count(cfg, stage, None) == 0
+    assert pro_gan.packed_d_stage_count(cfg, stage, "default") == 0
