@@ -14,7 +14,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -36,7 +35,7 @@ def main() -> None:
 
     cfg = pro_gan.ProGANConfig(resolution=args.res)
     stage = cfg.num_stages - 1
-    n_packed = pro_gan.packed_d_stage_count(cfg, stage)
+    n_packed = pro_gan.packed_d_stage_count(cfg, stage, args.precision)
     print(f"packed D stages: {n_packed}", file=sys.stderr, flush=True)
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -51,29 +50,17 @@ def main() -> None:
         dev,
     )
 
+    from benchmarks._timing import slope_timed_ms
+
     def timed(packed: bool) -> float:
-        def chain(n):
-            def body(img, _):
-                logits = pro_gan.discriminator_apply(
-                    d_params, img, cfg, stage, 1.0, jnp.float32,
-                    args.precision, packed=packed,
-                )
-                img2 = img * (1.0 + 1e-12 * jnp.mean(logits))
-                return img2, None
-
-            f = jax.jit(
-                lambda im: jnp.sum(jax.lax.scan(body, im, None, length=n)[0])
+        def step(img):
+            logits = pro_gan.discriminator_apply(
+                d_params, img, cfg, stage, 1.0, jnp.float32,
+                args.precision, packed=packed,
             )
-            float(f(img0))  # compile
-            reps = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(f(img0))
-                reps.append(time.perf_counter() - t0)
-            return min(reps)
+            return img * (1.0 + 1e-12 * jnp.mean(logits))
 
-        n1, n2 = args.chains, 2 * args.chains
-        return 1000.0 * (chain(n2) - chain(n1)) / (n2 - n1)
+        return slope_timed_ms(step, img0, chains=args.chains)
 
     ms_pk = timed(True)
     ms_x = timed(False)

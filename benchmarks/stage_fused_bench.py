@@ -17,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -48,25 +47,14 @@ def main() -> None:
         ("stage8_512to1024", 64, 32, 32, 512, 512, 2),
     ]
 
+    from benchmarks._timing import slope_timed_ms
+
     def timed(fn, x0):
-        def chain(n):
-            def body(x, _):
-                y = fn(x)
-                # re-derive an input-shaped tensor so the loop can't hoist
-                x2 = x * (1.0 + 1e-12 * jnp.mean(y))
-                return x2, None
-
-            f = jax.jit(lambda x: jnp.sum(jax.lax.scan(body, x, None, length=n)[0]))
-            float(f(x0))  # compile
-            reps = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(f(x0))
-                reps.append(time.perf_counter() - t0)
-            return min(reps)
-
-        n1, n2 = args.chains, 2 * args.chains
-        return 1000.0 * (chain(n2) - chain(n1)) / (n2 - n1)
+        # re-derive an input-shaped tensor so the loop can't hoist
+        return slope_timed_ms(
+            lambda x: x * (1.0 + 1e-12 * jnp.mean(fn(x))), x0,
+            chains=args.chains,
+        )
 
     for name, cin, c1, c2, h, w, p_in in shapes:
         x0 = jax.device_put(

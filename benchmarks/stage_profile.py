@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -43,42 +42,28 @@ def main() -> None:
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
 
+    from benchmarks._timing import slope_timed_ms
+
+    z0 = jax.device_put(
+        jax.random.normal(
+            jax.random.key(1), (args.batch, cfg.latent_dim), jnp.float32
+        ),
+        dev,
+    )
+
     def timed(stage: int) -> float:
         """ms per forward at ``stage``, slope between two chain lengths."""
 
-        def chain(n):
-            def fn(params, z0):
-                def body(z, _):
-                    rgb = pro_gan.generator_apply(
-                        params, z, cfg, stage, 1.0, jnp.float32,
-                        args.precision, packed=True,
-                    )
-                    # feed a digest of the output back into the next latent so
-                    # XLA cannot hoist the loop body (methodology note above)
-                    digest = jnp.mean(rgb.astype(jnp.float32)) * 1e-6
-                    return z + digest, None
-
-                z, _ = jax.lax.scan(body, z0, None, length=n)
-                return jnp.sum(z)
-
-            f = jax.jit(fn, static_argnums=())
-            z0 = jax.device_put(
-                jax.random.normal(
-                    jax.random.key(1), (args.batch, cfg.latent_dim), jnp.float32
-                ),
-                dev,
+        def step(z):
+            rgb = pro_gan.generator_apply(
+                params, z, cfg, stage, 1.0, jnp.float32,
+                args.precision, packed=True,
             )
-            float(f(params, z0))  # compile
-            reps = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(f(params, z0))
-                reps.append(time.perf_counter() - t0)
-            return min(reps)
+            # feed a digest of the output back into the next latent so
+            # XLA cannot hoist the loop body (methodology note above)
+            return z + jnp.mean(rgb.astype(jnp.float32)) * 1e-6
 
-        n1, n2 = args.chains, 2 * args.chains
-        t1, t2 = chain(n1), chain(n2)
-        return 1000.0 * (t2 - t1) / (n2 - n1)
+        return slope_timed_ms(step, z0, chains=args.chains)
 
     rows = {}
     prev = 0.0

@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
         "the checkpoint stores EMA generator weights (default prefers EMA)",
     )
     parser.add_argument(
+        "--precision", type=str, default="high",
+        choices=["default", "high", "highest"],
+        help="Image-task serving grade (generate_images): 'high' is the "
+        "parity-grade production default; 'default' is 1-pass bf16",
+    )
+    parser.add_argument(
         "--profile_dir",
         type=str,
         default="",
@@ -149,6 +155,7 @@ def run_generate_images(args: argparse.Namespace):
     engine = ImageGANEngine(
         config, g_params=g_params, d_params=d_params or None,
         device=args.device, seed=args.seed, mesh=args.mesh,
+        precision=None if args.precision == "default" else args.precision,
     )
     stage = engine.final_stage if args.stage < 0 else args.stage
     print(

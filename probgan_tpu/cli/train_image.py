@@ -147,21 +147,11 @@ def main(argv: list[str] | None = None) -> int:
     start_stage = 0
     history: dict[str, list] = {"d_loss": [], "g_loss": []}
     if args.resume and os.path.exists(train_state_path):
-        try:
-            state, meta = load_train_state(train_state_path, state)
-        except ValueError:
-            # Pre-EMA train_state (no g_ema field): seed the EMA with the
-            # saved raw generator by key injection (flax state-dicts key
-            # NamedTuples by field name).
-            from flax import serialization
-
-            with open(train_state_path, "rb") as f:
-                payload = serialization.msgpack_restore(f.read())
-            sd = payload["state"]
-            if "g_ema" not in sd:
-                sd["g_ema"] = sd["g_params"]
-            state = serialization.from_state_dict(state, sd)
-            meta = payload["meta"]
+        # alias_missing: pre-EMA train_state files seed g_ema from the saved
+        # raw generator (core/train_state.py).
+        state, meta = load_train_state(
+            train_state_path, state, alias_missing={"g_ema": "g_params"}
+        )
         state = jax.device_put(state, device)
         history = {k: list(v) for k, v in meta["history"].items()}
         start_stage = int(meta["stage"]) + 1

@@ -37,10 +37,22 @@ def save_train_state(path: str, state: Any, meta: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX: no torn checkpoints on crash
 
 
-def load_train_state(path: str, template: Any) -> tuple[Any, dict]:
+def load_train_state(
+    path: str, template: Any, alias_missing: dict[str, str] | None = None
+) -> tuple[Any, dict]:
     """Restore a train state into ``template``'s structure. Returns
-    (state, meta)."""
+    (state, meta).
+
+    ``alias_missing``: schema-upgrade map for state files written before a
+    top-level field existed — each missing key is seeded from the named
+    sibling key (e.g. ``{"g_ema": "g_params"}`` for pre-EMA ProGAN states;
+    flax state-dicts key NamedTuples by field name). Only the listed keys
+    are upgraded; any other structure mismatch still raises."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    state = serialization.from_state_dict(template, payload["state"])
+    sd = payload["state"]
+    for missing, source in (alias_missing or {}).items():
+        if missing not in sd and source in sd:
+            sd[missing] = sd[source]
+    state = serialization.from_state_dict(template, sd)
     return state, payload["meta"]

@@ -144,16 +144,24 @@ class ImageGANEngine:
         dtype=jnp.float32,
         use_pallas: bool | None = None,
         mesh=None,
+        precision: str | None = "high",
     ):
         """``mesh``: None/""/1 single-device; "auto"/int/Mesh — generation
         runs data-parallel over all mesh devices (parallel/sharded_image.py),
-        latents sharded, params replicated."""
+        latents sharded, params replicated.
+
+        ``precision``: the serving grade — "high" (default: parity-grade,
+        the configuration every published number uses; on the packed path
+        the G ladder promotes it to the fp32-exact kernel mode and the D
+        ladder to the 3-term split), "highest", or None/"default" (1-pass
+        bf16, ~48 dB)."""
         from probgan_tpu.parallel.mesh import resolve_mesh
 
         self.config = config
         self.device = resolve_device(device)
         self.mesh = resolve_mesh(mesh)
         self.dtype = dtype
+        self.precision = precision
         if use_pallas is None:
             import os
 
@@ -202,14 +210,14 @@ class ImageGANEngine:
             with task_trace("generate_images"):
                 img = dp_generate(
                     self.mesh, self.g_params, z, self.config, stage, alpha,
-                    self.dtype, packed=self.packed,
+                    self.dtype, self.precision, packed=self.packed,
                 )
                 return np.asarray(jax.device_get(img))[:n]
         z = jax.device_put(jnp.asarray(latents, jnp.float32), self.device)
         with task_trace("generate_images"):
             img = generate_fn(
                 self.g_params, z, jnp.float32(alpha), self.config, stage,
-                self.dtype, self.use_pallas, None, self.packed,
+                self.dtype, self.use_pallas, self.precision, self.packed,
             )
             return np.asarray(jax.device_get(img))
 
@@ -222,7 +230,7 @@ class ImageGANEngine:
                 jax.device_get(
                     score_fn(
                         self.d_params, x, jnp.float32(alpha), self.config,
-                        stage, self.dtype, None, self.packed,
+                        stage, self.dtype, self.precision, self.packed,
                     )
                 )
             )
@@ -237,6 +245,7 @@ class ImageGANEngine:
         with task_trace("latent_walk"):
             img = latent_walk_fn(
                 self.g_params, z0, z1, jnp.float32(alpha), self.config, stage,
-                frames, self.dtype, self.use_pallas, None, 8, self.packed,
+                frames, self.dtype, self.use_pallas, self.precision, 8,
+                self.packed,
             )
             return np.asarray(jax.device_get(img))

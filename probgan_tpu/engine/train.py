@@ -118,9 +118,13 @@ def progan_train_step(
     g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
     g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
-    g_ema = jax.tree.map(
-        lambda e, p: ema_beta * e + (1.0 - ema_beta) * p, state.g_ema, g_params
-    )
+    if ema_beta == 0.0:  # static: EMA disabled — alias, don't materialize
+        g_ema = g_params
+    else:
+        g_ema = jax.tree.map(
+            lambda e, p: ema_beta * e + (1.0 - ema_beta) * p,
+            state.g_ema, g_params,
+        )
 
     metrics = {
         "d_loss": d_loss,

@@ -493,8 +493,8 @@ def test_progan_train_step_updates_ema():
 
 def test_progan_pre_ema_train_state_upgrades_on_resume(tmp_path):
     """A train_state.msgpack written before the g_ema field existed must
-    resume: the trainer injects g_ema = g_params into the state dict
-    (cli/train_image.py)."""
+    resume via load_train_state's alias_missing upgrade (the trainer passes
+    {"g_ema": "g_params"}); without the alias the mismatch still raises."""
     from flax import serialization
 
     from probgan_tpu.core.train_state import load_train_state, save_train_state
@@ -514,12 +514,10 @@ def test_progan_pre_ema_train_state_upgrades_on_resume(tmp_path):
     with pytest.raises(ValueError):
         load_train_state(path, state)
 
-    # The trainer's upgrade path:
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
-    sd = payload["state"]
-    sd["g_ema"] = sd["g_params"]
-    restored = serialization.from_state_dict(state, sd)
+    restored, meta = load_train_state(
+        path, state, alias_missing={"g_ema": "g_params"}
+    )
+    assert meta["stage"] == 0
     for a, b in zip(
         jax.tree.leaves(restored.g_ema), jax.tree.leaves(restored.g_params)
     ):
