@@ -159,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a" if args.resume else "w")
     rng = np.random.RandomState(args.seed)
 
+    # Fake rendering for the D step can use the packed inference kernels
+    # (constant w.r.t. the differentiated params — engine/train.py).
+    from probgan_tpu.engine.image import packed_default
+
+    packed_fake = packed_default()
+
     n = len(real_full)
     if n < args.batch_size:
         # Erroring beats the silent alternative: with n < batch_size every
@@ -196,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
                 state, metrics = train_engine.progan_train_step(
                     state, batch, z, jnp.float32(alpha), config, stage,
                     args.lr, ema_beta=args.ema_beta,
+                    packed_fake=packed_fake,
                 )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]

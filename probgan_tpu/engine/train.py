@@ -71,7 +71,11 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
     )
 
 
-@partial(jax.jit, static_argnames=("config", "stage", "lr", "dtype", "ema_beta"))
+@partial(
+    jax.jit,
+    static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
+                     "packed_fake"),
+)
 def progan_train_step(
     state: ProGANTrainState,
     real_images: jax.Array,
@@ -82,14 +86,24 @@ def progan_train_step(
     lr: float = 1e-3,
     dtype=jnp.float32,
     ema_beta: float = 0.999,
+    packed_fake: bool = False,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
-    ``ema_beta`` is the generator-EMA decay (0 tracks the raw iterate)."""
+    ``ema_beta`` is the generator-EMA decay (0 tracks the raw iterate).
+
+    ``packed_fake``: render the D-step's fake batch with the packed Pallas
+    inference kernels. Legal despite the kernels defining no VJP: that
+    forward sits behind stop_gradient and is constant w.r.t. d_params, so
+    no tangents ever flow through it; the differentiated G forward in the
+    G step always uses the XLA path."""
     opt = progan_optimizer(lr)
 
     def d_loss_fn(d_params):
-        fake = pro_gan.generator_rgb(state.g_params, z, config, stage, alpha, dtype)
+        fake = pro_gan.generator_rgb(
+            state.g_params, z, config, stage, alpha, dtype,
+            packed=packed_fake,
+        )
         real_logits = pro_gan.discriminator_apply(
             d_params, real_images, config, stage, alpha, dtype, remat=True
         )

@@ -522,3 +522,25 @@ def test_progan_pre_ema_train_state_upgrades_on_resume(tmp_path):
         jax.tree.leaves(restored.g_ema), jax.tree.leaves(restored.g_params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_progan_train_step_packed_fake_flag():
+    """packed_fake=True must be bitwise-identical to False when the packed
+    gate declines the config (tiny resolution) — the flag only reroutes the
+    stop-gradient fake render, never the differentiated paths."""
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64, fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    real = jax.random.uniform(jax.random.key(1), (4, r, r, 3), minval=-1, maxval=1)
+    z = jax.random.normal(jax.random.key(2), (4, cfg.latent_dim))
+
+    s1, m1 = train_engine.progan_train_step(
+        state, real, z, jnp.float32(1.0), cfg, stage, packed_fake=False
+    )
+    s2, m2 = train_engine.progan_train_step(
+        state, real, z, jnp.float32(1.0), cfg, stage, packed_fake=True
+    )
+    assert float(m1["d_loss"]) == float(m2["d_loss"])
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
