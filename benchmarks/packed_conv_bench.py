@@ -57,15 +57,6 @@ def main() -> None:
     w_d = jax.device_put(jnp.asarray(w), dev)
     b_d = jax.device_put(jnp.asarray(b), dev)
 
-    def xla_chain(x):  # [1, C, H, W] -> same (via NHWC conv)
-        img = jnp.transpose(x, (0, 2, 3, 1))
-        y = jax.lax.conv_general_dilated(
-            img, w_d, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST,
-        ) + b_d
-        y = pro_gan.pixel_norm(pro_gan.lrelu(y))
-        return jnp.transpose(y, (0, 3, 1, 2))
-
     def xla_chain_native(x):  # stays NHWC (no transposes): the fair baseline
         y = jax.lax.conv_general_dilated(
             x, w_d, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -65,7 +65,8 @@ parse_triplets(PyObject *self, PyObject *args)
             v = v * 10 + (*p - '0');
             p++;
             digits++;
-            if (digits > 10 || v > INT32_MAX) { /* int32 overflow */
+            /* int32 overflow; the negative branch admits INT32_MIN */
+            if (digits > 10 || v > (int64_t)INT32_MAX + (neg ? 1 : 0)) {
                 PyMem_Free(out);
                 PyBuffer_Release(&view);
                 PyErr_Format(PyExc_ValueError,

@@ -245,11 +245,19 @@ def main(argv: list[str] | None = None) -> int:
         # otherwise duplicate when those epochs re-run.
         metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
         if args.resume and os.path.exists(metrics_path):
+            kept = []
             with open(metrics_path) as f:
-                kept = [
-                    line for line in f
-                    if line.strip() and json.loads(line).get("epoch", 0) <= start_epoch
-                ]
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        row = json.loads(line)
+                    except json.JSONDecodeError:
+                        # A crashed run can leave a torn final line — that is
+                        # exactly the state this pruning handles; drop it.
+                        continue
+                    if row.get("epoch", 0) <= start_epoch:
+                        kept.append(line)
             with open(metrics_path, "w") as f:
                 f.writelines(kept)
         metrics_log = open(metrics_path, "a" if args.resume else "w")

@@ -319,6 +319,16 @@ def _upconv_rows(get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret):
 # fused conv3x3 + bias + LeakyReLU + PixelNorm (phase-preserving)
 # ---------------------------------------------------------------------------
 
+
+def _check_row_panels(h: int, r: int, kernel: str) -> None:
+    """Public-entry shape guard: the row-panel grid is h // r, so a
+    non-multiple H would silently drop trailing rows (and H < 2 panels has
+    no halo panel to prefetch)."""
+    if h % r != 0:
+        raise ValueError(
+            f"{kernel}: H={h} must be a multiple of rows_per_step={r}"
+        )
+
 def prep_conv_weights(w: jax.Array, mode: str) -> jax.Array:
     """[3, 3, C, Cout] (already eq-LR scaled) -> K-stacked [(K*), Cout].
     K order: (col-source: phase-1/phase/phase+1, row-tap, channel)."""
@@ -346,6 +356,7 @@ def packed_conv(
     cout = w.shape[-1]
     wp = wtot // p
     r = rows_per_step
+    _check_row_panels(h, r, "packed_conv")
     wk_host = prep_conv_weights(w, mode)
     act = _epilogue_fn(epilogue)
 
@@ -426,6 +437,7 @@ def packed_convpool(
     wp = wtot // p
     rout = rows_per_step
     r_in = 2 * rout
+    _check_row_panels(h // 2, rout, "packed_convpool (output rows)")
     wk_host = prep_conv_weights(w, mode)
 
     def kern(x_hbm, wk_ref, b_ref, out_ref, buf, sems):
@@ -517,6 +529,7 @@ def packed_conv_rgb(
     cout = w.shape[-1]
     wp = wtot // p
     r = 16  # prev-rgb blocks are r//2 = 8 rows -> aligned
+    _check_row_panels(h, r, "packed_conv_rgb")
     wk_host = prep_conv_weights(w, mode)
     wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)  # [C*,8]
     rgb_b8 = jnp.pad(rgb_b, (0, 5))
@@ -645,6 +658,7 @@ def packed_upconv(
     cout = w.shape[-1]
     wp = wtot // p_in
     r = rows_per_step
+    _check_row_panels(h, r, "packed_upconv")
     wk_host = prep_upconv_weights(w, mode)
     emit_rgb = rgb_w is not None
     if emit_rgb:
@@ -781,6 +795,7 @@ def packed_upconv_conv(
     wp = wtot // p_in
     w_out = 2 * wtot
     r = rows_per_step
+    _check_row_panels(h, r, "packed_upconv_conv")
     wk1_host = prep_upconv_weights(w1, mode)
     wk2_host = prep_conv_weights(w2, mode)
 
@@ -871,6 +886,7 @@ def packed_upconv_conv_rgb(
     wp = wtot // p_in
     w_out = 2 * wtot
     r = rows_per_step
+    _check_row_panels(h, r, "packed_upconv_conv_rgb")
     wk1_host = prep_upconv_weights(w1, mode)
     wk2_host = prep_conv_weights(w2, mode)
     wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)

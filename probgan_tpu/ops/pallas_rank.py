@@ -189,8 +189,12 @@ def rank_topk_fused(
         pred, table_norm, k, num_entities, interpret=interpret
     )
     nt = cand_v.shape[0]
-    cv = jnp.transpose(cand_v, (1, 0, 2)).reshape(b, nt * 128)
-    ci = jnp.transpose(cand_i, (1, 0, 2)).reshape(b, nt * 128)
+    # Slice the 128-lane Mosaic padding off BEFORE the merge: the -inf
+    # fillers occupy lanes [k, 128) and can never win, so the top_k pool is
+    # [B, nt*k], not [B, nt*128] (13x smaller at k=10). Candidate order
+    # stays (tile, desc-value/asc-index), preserving the tie-break.
+    cv = jnp.transpose(cand_v[:, :, :k], (1, 0, 2)).reshape(b, nt * k)
+    ci = jnp.transpose(cand_i[:, :, :k], (1, 0, 2)).reshape(b, nt * k)
     v, pos = jax.lax.top_k(cv, k)
     i = jnp.take_along_axis(ci, pos, axis=1)
     return v, i

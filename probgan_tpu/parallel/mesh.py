@@ -56,6 +56,15 @@ def resolve_mesh(spec) -> Mesh | None:
     if spec in (None, "", "1", 1):
         return None
     if isinstance(spec, Mesh):
+        # The serving paths hardcode these axis names (entity-table TP over
+        # "model", batch DP over "data") — reject other layouts up front
+        # instead of KeyError-ing deep inside a shard_map.
+        if tuple(spec.axis_names) != ("data", "model"):
+            raise ValueError(
+                "prebuilt Mesh must have axis names ('data', 'model'); got "
+                f"{tuple(spec.axis_names)} — build one with make_mesh(n) or "
+                "pass a device count"
+            )
         return spec if spec.devices.size > 1 else None
     n = None if spec == "auto" else int(spec)
     if n is not None and n <= 1:
