@@ -75,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--device", type=str, default="auto",
                         choices=["auto", "tpu", "cuda", "cpu"])
     parser.add_argument("--precision", type=str, default="default",
-                        choices=["default", "high", "highest"])
+                        choices=["default", "fast", "high", "highest"])
     parser.add_argument("--resume", action="store_true",
                         help="Resume from <output_dir>/train_state.msgpack")
     parser.add_argument("--ema_beta", type=float, default=0.999,

@@ -60,7 +60,9 @@ def load_image_checkpoint(
 ) -> tuple[ProGANConfig, dict, dict]:
     """Returns (config, g_params, d_params). With ``prefer_ema`` (the
     default), g_params is the checkpoint's EMA generator when one is stored;
-    pass False for the raw adversarial iterate."""
+    pass False for the raw adversarial iterate. SERVING loader: anything
+    that fine-tunes or resumes must NOT train from the EMA tree — use
+    ``load_image_checkpoint_trees`` to get both trees by name."""
     ckpt = load_checkpoint(path)
     if not is_image_checkpoint(ckpt):
         raise ValueError(
@@ -81,3 +83,36 @@ def load_image_checkpoint(
         else "image_generator"
     )
     return cfg, to_np(ckpt[g_key]), to_np(ckpt["image_discriminator"])
+
+
+def load_image_checkpoint_trees(
+    path: str,
+) -> tuple[ProGANConfig, dict, dict | None, dict]:
+    """Unambiguous loader: (config, g_raw, g_ema_or_None, d_params).
+
+    ``g_raw`` is ALWAYS the trainable adversarial iterate
+    ('image_generator'); ``g_ema`` is the stored EMA tree or None. Use this
+    from resumption / fine-tuning paths so the EMA-preferring serving
+    default of ``load_image_checkpoint`` can't silently hand training the
+    EMA weights."""
+    ckpt = load_checkpoint(path)
+    if not is_image_checkpoint(ckpt):
+        raise ValueError(
+            f"Not an image-GAN checkpoint (missing 'image_generator'): {path}"
+        )
+    cfg = ProGANConfig(**{k: int(v) for k, v in ckpt["image_config"].items()})
+
+    def to_np(tree):
+        if isinstance(tree, dict):
+            return {k: to_np(v) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [to_np(v) for v in tree]
+        return np.asarray(tree)
+
+    ema = ckpt.get("image_generator_ema")
+    return (
+        cfg,
+        to_np(ckpt["image_generator"]),
+        to_np(ema) if ema is not None else None,
+        to_np(ckpt["image_discriminator"]),
+    )

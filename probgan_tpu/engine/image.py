@@ -56,8 +56,9 @@ def generate_fn(
     """Latent [B, L] -> uint8 images [B, R, R, 3].
 
     ``precision``: None/"default" (1-pass bf16 MXU, ~48 dB vs the fp32 CPU
-    reference at 1024²), "high" (3-pass, ~73 dB — the parity-grade setting),
-    "highest" (6-pass, ~80 dB).
+    reference at 1024²), "fast" (cheapest grade above the 50 dB parity bar —
+    the packed kernels' 2-term split), "high" (parity grade, ~73 dB),
+    "highest" (6-pass).
 
     ``packed``: route eligible late stages through the phase-blocked Pallas
     kernels (ops/pallas_packed.py) — the TPU production configuration."""

@@ -66,15 +66,27 @@ class _Module:
         else:
             params = jax.tree.map(_as_f32, torch_state_to_params(state))
         if strict:
-            want = {jax.tree_util.keystr(k) for k, _ in
+            want = {jax.tree_util.keystr(k): v.shape for k, v in
                     jax.tree_util.tree_leaves_with_path(self.params)}
-            got = {jax.tree_util.keystr(k) for k, _ in
+            got = {jax.tree_util.keystr(k): v.shape for k, v in
                    jax.tree_util.tree_leaves_with_path(params)}
-            if want != got:
-                missing, unexpected = want - got, got - want
+            if want.keys() != got.keys():
+                missing = want.keys() - got.keys()
+                unexpected = got.keys() - want.keys()
                 raise ValueError(
                     f"state dict mismatch: missing={sorted(missing)} "
                     f"unexpected={sorted(unexpected)}"
+                )
+            # Shape check too: torch's strict load raises on size mismatch at
+            # load time; without this a wrong-shaped array loads silently and
+            # only fails later inside a jitted apply.
+            bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+            if bad:
+                raise ValueError(
+                    "state dict size mismatch (got != expected): "
+                    + ", ".join(
+                        f"{k}: {g} != {w}" for k, (g, w) in sorted(bad.items())
+                    )
                 )
         self.params = params
 

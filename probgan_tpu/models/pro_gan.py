@@ -83,9 +83,14 @@ def _he_scale(fan_in: int, gain: float = math.sqrt(2.0)) -> float:
 # MXU precision for convs/matmuls: None -> the jax default (single-pass
 # bf16 on TPU, ~48 dB vs the fp32 CPU reference at 1024²); "high" -> 3-pass
 # fp32 emulation (~73 dB, the parity-grade setting); "highest" -> 6-pass.
+# "fast" is the throughput serving grade: on the packed Pallas path it maps
+# to the kernels' 2-term "mid" split (above the 50 dB north-star bar, well
+# under parity grade — see _PACKED_MODES); on the XLA fallback it resolves
+# to HIGH (XLA has no 2-pass mode; HIGH clears the bar at ~73 dB).
 _PRECISIONS = {
     None: None,
     "default": jax.lax.Precision.DEFAULT,
+    "fast": jax.lax.Precision.HIGH,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
@@ -263,6 +268,11 @@ _PACKED_MODES = {
     None: "default",
     "default": "default",
     jax.lax.Precision.DEFAULT: "default",
+    # "fast": the cheapest mode measured >= 50 dB end-to-end at 1024²
+    # (benchmarks/packed_psnr.py) — the 2-term "mid" split. The 1-pass
+    # "default" mode sits ~2 dB below the bar; 3-term "high" is above the
+    # bar but slower. Serving grade only; never used by golden tests.
+    "fast": "mid",
     "high": "highest",
     jax.lax.Precision.HIGH: "highest",
     "highest": "highest",
@@ -285,7 +295,10 @@ def _g_late_packed(
     PROBGAN_STAGE_FUSED=1 opts into ONE stage-fused kernel per stage
     (packed_upconv_conv / packed_upconv_conv_rgb) — conv1's feature map
     never touches HBM (bitwise-identical results per mode; tests assert
-    it). Measured a WASH at the production shapes (0.90-1.16x per
+    it). Like PROBGAN_PACKED, the env var is captured at TRACE time: it is
+    not part of the jit cache key, so flipping it after the first compile
+    for a given (config, stage, precision, packed) has no effect until the
+    process (or jit cache) restarts. Measured a WASH at the production shapes (0.90-1.16x per
     stage/mode, benchmarks/stage_fused_bench.py): the late stages are
     MXU-pass-bound at fp32-grade precision, not bandwidth-bound, and the
     fused kernel re-computes 2 boundary conv1 row-pairs per panel — so the
@@ -455,6 +468,7 @@ def _d_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
 # "highest" like-for-like; at "default" (1-pass bf16) XLA's fused conv+pool
 # wins 1.12x, so the packed gate declines that mode.
 _PACKED_MODES_D = {
+    "fast": "mid",
     "high": "high",
     jax.lax.Precision.HIGH: "high",
     "highest": "highest",

@@ -47,6 +47,10 @@ Precision modes (matching models/pro_gan.py's MXU ladder):
              (hi*hi + hi*lo + lo*hi — 3-pass fp32 emulation; Mosaic's dot
              only exposes DEFAULT/HIGHEST so the passes are materialized in
              the K dimension)
+- "mid":     2-term split (hi*hi + hi*lo = w_hi * x exactly): only the
+             weight rounding is dropped (~2^-9 relative/dot) — the "fast"
+             serving grade's kernel mode (above the 50 dB north-star bar
+             end-to-end; see benchmarks/packed_psnr.py)
 - "default": fp32 operands, Precision.DEFAULT (1 bf16 pass)
 
 The ops fused here are the reference-free north-star image family
@@ -67,7 +71,7 @@ LRELU_SLOPE = 0.2
 _PIXELNORM_EPS = 1e-8
 _NSLOT = 4  # revolver slots: 3 resident panels + 1 in flight
 
-VALID_MODES = ("highest", "exact6", "high", "default")
+VALID_MODES = ("highest", "exact6", "high", "mid", "default")
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +108,13 @@ def stack_weights(wk: jax.Array, mode: str) -> jax.Array:
     if mode == "high":
         hi, lo = _hilo(wk)
         return jnp.concatenate([hi, hi, lo], axis=0)
+    if mode == "mid":
+        # 2-term split: [w_hi; w_hi] x [x_hi; x_lo] = w_hi * x exactly —
+        # only the WEIGHT rounding (|w_lo * x| <~ 2^-9 relative) is dropped.
+        # Halfway between "default" (both operands rounded, ~2^-8) and
+        # "high" (3-term, ~2^-16); the ladder's "fast" serving grade.
+        hi, _ = _hilo(wk)
+        return jnp.concatenate([hi, hi], axis=0)
     if mode == "exact6":
         hi, mid, lo = _hi_mid_lo(wk)
         return jnp.concatenate([hi, hi, mid, hi, lo, mid], axis=0)
@@ -114,6 +125,9 @@ def _stack_x(x_all: jax.Array, mode: str) -> jax.Array:
     if mode == "high":
         hi, lo = _hilo(x_all)
         return jnp.concatenate([hi, lo, hi], axis=0)
+    if mode == "mid":
+        hi, lo = _hilo(x_all)
+        return jnp.concatenate([hi, lo], axis=0)
     if mode == "exact6":
         hi, mid, lo = _hi_mid_lo(x_all)
         return jnp.concatenate([hi, mid, hi, lo, hi, mid], axis=0)
@@ -432,6 +446,11 @@ def packed_convpool(
         interpret = jax.default_backend() != "tpu"
     if p % 2 != 0:
         raise ValueError(f"packed_convpool needs an even phase count, got {p}")
+    if rows_per_step % 8 != 0:
+        raise ValueError(
+            f"packed_convpool: rows_per_step={rows_per_step} must be a "
+            "multiple of 8 (output sublanes)"
+        )
     bsz, cin, h, wtot = x.shape
     cout = w.shape[-1]
     wp = wtot // p

@@ -56,6 +56,11 @@ def resolve_mesh(spec) -> Mesh | None:
     if spec in (None, "", "1", 1):
         return None
     if isinstance(spec, Mesh):
+        if spec.devices.size <= 1:
+            # A degenerate single-device mesh is "no mesh" regardless of its
+            # axis names — the axis-name contract below only matters when a
+            # mesh path will actually run.
+            return None
         # The serving paths hardcode these axis names (entity-table TP over
         # "model", batch DP over "data") — reject other layouts up front
         # instead of KeyError-ing deep inside a shard_map.
@@ -65,7 +70,7 @@ def resolve_mesh(spec) -> Mesh | None:
                 f"{tuple(spec.axis_names)} — build one with make_mesh(n) or "
                 "pass a device count"
             )
-        return spec if spec.devices.size > 1 else None
+        return spec
     n = None if spec == "auto" else int(spec)
     if n is not None and n <= 1:
         return None

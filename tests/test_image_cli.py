@@ -117,3 +117,24 @@ def test_image_checkpoint_prefers_ema(tmp_path):
     save_image_checkpoint(path2, CFG, g)
     _, g2, _ = load_image_checkpoint(path2)
     np.testing.assert_array_equal(g2["base_dense"]["w"], g["base_dense"]["w"])
+
+
+def test_load_image_checkpoint_trees_names_both(tmp_path):
+    """The unambiguous loader returns (raw, ema) by name so resume paths
+    can't accidentally train from the EMA tree."""
+    from probgan_tpu.core.image_checkpoint import load_image_checkpoint_trees
+
+    path = str(tmp_path / "trees_ckpt.msgpack")
+    g = jax.tree.map(np.asarray, pro_gan.init_generator(jax.random.key(5), CFG))
+    ema = jax.tree.map(lambda x: x + 2.0, g)
+    save_image_checkpoint(path, CFG, g, g_ema=ema)
+    _, g_raw, g_ema, _ = load_image_checkpoint_trees(path)
+    np.testing.assert_array_equal(g_raw["base_dense"]["w"], g["base_dense"]["w"])
+    np.testing.assert_array_equal(
+        g_ema["base_dense"]["w"], np.asarray(g["base_dense"]["w"]) + 2.0
+    )
+
+    path2 = str(tmp_path / "trees_plain.msgpack")
+    save_image_checkpoint(path2, CFG, g)
+    _, _, no_ema, _ = load_image_checkpoint_trees(path2)
+    assert no_ema is None

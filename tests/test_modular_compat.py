@@ -117,3 +117,17 @@ def test_state_dict_round_trip():
     np.testing.assert_array_equal(
         np.asarray(other(node, node, node)), np.asarray(disc(node, node, node))
     )
+
+
+def test_strict_load_rejects_shape_mismatch():
+    """Strict load must raise at LOAD time on wrong-shaped leaves (torch
+    semantics) instead of failing later inside a jitted apply."""
+    gen = ModularGenerator(embed_dim=D, noise_dim=Z)
+    params = kg_gan.init_generator(jax.random.key(4), D, Z)
+    sd = params_to_torch_state(params)
+    bad = dict(sd)
+    bad["fc1.weight"] = np.zeros((3, 3), np.float32)  # wrong shape, right key
+    with pytest.raises(ValueError, match="size mismatch"):
+        gen.load_state_dict(bad)
+    # the original, well-shaped dict still loads
+    gen.load_state_dict(sd)

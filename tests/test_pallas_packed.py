@@ -578,3 +578,11 @@ def test_packed_d_gate_declines_default_precision():
     assert pro_gan.packed_d_stage_count(cfg, stage, "highest") >= 2
     assert pro_gan.packed_d_stage_count(cfg, stage, None) == 0
     assert pro_gan.packed_d_stage_count(cfg, stage, "default") == 0
+
+
+def test_packed_convpool_rejects_unaligned_rows_per_step():
+    x = jnp.zeros((1, 8, 16, 32), jnp.float32)  # already phase-blocked [B,C,H,W]
+    wgt = jnp.zeros((3, 3, 8, 8), jnp.float32)
+    bias = jnp.zeros((8,), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        pk.packed_convpool(x, wgt, bias, 2, rows_per_step=4, interpret=True)

@@ -156,3 +156,19 @@ def test_engine_mesh_spec_resolution(native_ckpt_path):
     assert eng8.mesh is not None and eng8.mesh.devices.size == 8
     assert eng8.entity_norm_sharded.shape[0] % 8 == 0
     assert eng8.get_model_info()["device"].startswith("mesh(")
+
+
+def test_resolve_mesh_degenerate_single_device_any_axes():
+    """A prebuilt 1-device Mesh degrades to None (no mesh) even with
+    non-standard axis names — the axis-name contract only applies when a
+    mesh path will actually run."""
+    from jax.sharding import Mesh
+
+    from probgan_tpu.parallel.mesh import resolve_mesh
+
+    one = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("x",))
+    assert resolve_mesh(one) is None
+    # multi-device with wrong axis names still rejected
+    bad = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("x",))
+    with pytest.raises(ValueError, match="axis names"):
+        resolve_mesh(bad)
