@@ -91,14 +91,19 @@ def main() -> None:
 
     from probgan_tpu.engine.inference import _rank_topk
 
-    def make_checksum(fused: bool):
+    table_bf16 = jax.jit(lambda t: t.astype(jnp.bfloat16))(table_norm)
+    float(jnp.sum(table_bf16.astype(jnp.float32)))  # materialize before timing
+
+    def make_checksum(fused: bool, bf16: bool):
         @jax.jit
-        def rank_checksum(g_params, hc, rc, zc, table_norm):
+        def rank_checksum(g_params, hc, rc, zc, table_norm, table_bf16):
             def step(acc, inputs):
                 hh, rr, zz = inputs
                 pred = kg_gan.generator_apply(g_params, hh, rr, zz)
                 if fused:
-                    v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas)
+                    v, i = _rank_topk(pred, table_norm, args.top_k, n,
+                                      use_pallas,
+                                      table_bf16 if bf16 else None)
                 else:
                     scores = _rank_scores(pred, table_norm, n, use_pallas)
                     v, i = jax.lax.top_k(scores, args.top_k)
@@ -109,21 +114,22 @@ def main() -> None:
 
         return rank_checksum
 
-    def run(tag: str, fused: bool):
-        fn = make_checksum(fused)
+    def run(tag: str, fused: bool, bf16: bool = False):
+        fn = make_checksum(fused, bf16)
         log(f"compiling {tag}...")
         t0 = time.perf_counter()
-        float(fn(g_params, hc, rc, zc, table_norm))
+        float(fn(g_params, hc, rc, zc, table_norm, table_bf16))
         log(f"compile+first-run: {time.perf_counter() - t0:.1f}s")
-        float(fn(g_params, hc, rc, zc, table_norm))
+        float(fn(g_params, hc, rc, zc, table_norm, table_bf16))
         iters, t0 = 0, time.perf_counter()
         while time.perf_counter() - t0 < args.seconds:
-            float(fn(g_params, hc, rc, zc, table_norm))
+            float(fn(g_params, hc, rc, zc, table_norm, table_bf16))
             iters += 1
         elapsed = time.perf_counter() - t0
         qps = iters * chain * b / elapsed
         # Table bytes read per ranking pass (the dominant traffic).
-        gbps = iters * chain * n_pad * d * 4 / elapsed / 1e9
+        bytes_per_pass = n_pad * d * (2 if bf16 else 4)
+        gbps = iters * chain * bytes_per_pass / elapsed / 1e9
         print(json.dumps({
             "metric": f"predict_tails_queries_per_sec_N{n}",
             "path": tag,
@@ -135,7 +141,8 @@ def main() -> None:
             "pallas": use_pallas,
         }), flush=True)
 
-    # fused rank+top-k (the production path) vs the two-step score + lax.top_k
+    # bf16-streamed (production) vs fp32 fused rank+top-k vs two-step
+    run("bf16_stream_rank_topk", True, bf16=True)
     run("fused_rank_topk", True)
     run("score_then_topk", False)
 
@@ -145,18 +152,19 @@ def main() -> None:
     # each call pays the ~34 ms RPC floor, which real-hardware serving would
     # not (VERDICT r1 weak #7: never conflate the two).
     @jax.jit
-    def one_call(g_params, h, r, z, table_norm):
+    def one_call(g_params, h, r, z, table_norm, table_bf16):
         pred = kg_gan.generator_apply(g_params, h, r, z)
-        v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas)
+        v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas,
+                          table_bf16)
         return jnp.sum(i) + jnp.sum(v).astype(jnp.int32)
 
-    float(one_call(g_params, h, r, z, table_norm))  # compile
-    float(one_call(g_params, h, r, z, table_norm))  # warmup
+    float(one_call(g_params, h, r, z, table_norm, table_bf16))  # compile
+    float(one_call(g_params, h, r, z, table_norm, table_bf16))  # warmup
     lat = []
     t_end = time.perf_counter() + min(args.seconds, 3.0)
     while time.perf_counter() < t_end:
         t1 = time.perf_counter()
-        float(one_call(g_params, h, r, z, table_norm))
+        float(one_call(g_params, h, r, z, table_norm, table_bf16))
         lat.append(time.perf_counter() - t1)
     print(json.dumps({
         "metric": f"predict_tails_serving_latency_N{n}",

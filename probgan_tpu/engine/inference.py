@@ -57,16 +57,18 @@ def _rank_scores(pred: jax.Array, entity_norm_padded: jax.Array, num_entities: i
 
 
 def _rank_topk(pred: jax.Array, entity_norm_padded: jax.Array, k: int,
-               num_entities: int, use_pallas: bool):
+               num_entities: int, use_pallas: bool, table_bf16=None):
     """Fused rank + top-k when the Pallas gate allows (the [B, N] score
     matrix never touches HBM and the XLA full-sort over N collapses to a
     candidate merge — ops/pallas_rank.rank_topk_fused); otherwise the
-    two-step score + lax.top_k path. Bit-identical results either way."""
+    two-step score + lax.top_k path. Bit-identical results either way.
+    ``table_bf16``: the engine's cached bf16 table copy — streams half the
+    bytes and re-scores the candidate pool in fp32 (pallas_rank)."""
     if use_pallas and pallas_rank.supports_topk(
         pred.shape, entity_norm_padded.shape[0], k
     ):
         return pallas_rank.rank_topk_fused(
-            pred, entity_norm_padded, k, num_entities
+            pred, entity_norm_padded, k, num_entities, table_bf16=table_bf16
         )
     scores = _rank_scores(pred, entity_norm_padded, num_entities, use_pallas)
     return jax.lax.top_k(scores, k)
@@ -106,13 +108,14 @@ def _check_ids(ids, bound: int, kind: str) -> None:
 @partial(jax.jit, static_argnames=("top_k", "num_entities", "use_pallas"))
 def _predict_tails_fn(
     g_params, node_emb, entity_norm, rel_table, heads, rels, z, top_k,
-    num_entities, use_pallas,
+    num_entities, use_pallas, table_bf16=None,
 ):
     """gather -> G fwd -> fused rank -> top-k (SURVEY.md §3.2)."""
     h = node_emb[heads]
     r = rel_table[rels]
     pred = kg_gan.generator_apply(g_params, h, r, z)
-    return _rank_topk(pred, entity_norm, top_k, num_entities, use_pallas)
+    return _rank_topk(pred, entity_norm, top_k, num_entities, use_pallas,
+                      table_bf16)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_entities", "mesh"))
@@ -167,13 +170,15 @@ def _discriminator_scores_fn(d_params, node_emb, rel_table, triplets):
 
 
 @partial(jax.jit, static_argnames=("k_query", "num_entities", "use_pallas"))
-def _similar_entities_fn(entity_norm, queries, k_query, num_entities, use_pallas):
+def _similar_entities_fn(entity_norm, queries, k_query, num_entities,
+                         use_pallas, table_bf16=None):
     """Rows of the cached normalized table vs the whole table; k_query =
     min(top_k + 1, N) candidates so host-side self-exclusion can drop the
     query itself (pro_b_gan_infer.py:231-236; clamped so top_k >= N is a
     legal request rather than a crash)."""
     q = entity_norm[queries]
-    return _rank_topk(q, entity_norm, k_query, num_entities, use_pallas)
+    return _rank_topk(q, entity_norm, k_query, num_entities, use_pallas,
+                      table_bf16)
 
 
 @partial(jax.jit, static_argnames=("top_k", "num_relations"))
@@ -321,6 +326,22 @@ class InferenceEngine:
                 rank_ops.l2_normalize(t), ((0, n_pad - t.shape[0]), (0, 0))
             )
         )(self.node_emb)
+        # bf16 copy for the streamed rank kernel (half the HBM bytes of the
+        # dominant table scan; results re-scored exactly in fp32 —
+        # ops/pallas_rank.rank_topk_fused). Cast once at load, cached like
+        # the normalization. Gated on table size: below BF16_MIN_N the
+        # segmented extraction's displacement probability is non-negligible
+        # (and the full table read is cheap anyway). Escape hatch:
+        # PROBGAN_BF16_RANK=0.
+        self.entity_norm_bf16 = None
+        if (
+            self._use_pallas
+            and self.num_entities >= pallas_rank.BF16_MIN_N
+            and os.environ.get("PROBGAN_BF16_RANK", "1") != "0"
+        ):
+            self.entity_norm_bf16 = jax.jit(
+                lambda t: t.astype(jnp.bfloat16)
+            )(self.entity_norm)
 
         if self.mesh is not None:
             # Tensor parallelism: rank against the table row-sharded over the
@@ -414,6 +435,7 @@ class InferenceEngine:
                     top_k,
                     self.num_entities,
                     self._use_pallas,
+                    self.entity_norm_bf16,
                 )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 
@@ -534,6 +556,7 @@ class InferenceEngine:
                     k_query,
                     self.num_entities,
                     self._use_pallas,
+                    self.entity_norm_bf16,
                 )
             top_scores, top_indices = jax.device_get((top_scores, top_indices))
 

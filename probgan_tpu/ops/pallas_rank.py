@@ -73,18 +73,20 @@ def _rank_scores_pallas(pred: jax.Array, table_norm: jax.Array, interpret: bool 
     )(pred, table_norm)
 
 
-def _rank_topk_kernel(pred_ref, table_ref, val_ref, idx_ref, *, k, tile_n,
-                      num_entities):
+def _rank_topk_kernel(nvalid_ref, pred_ref, table_ref, val_ref, idx_ref, *,
+                      k, tile_n, normalize):
     """One N tile: fused normalize + matmul + per-tile top-k extraction.
     Emits the tile's k best (values, GLOBAL indices) per query row — the
     [B, N] score matrix never exists in HBM, and the XLA full-sort top_k
-    over N collapses to a tiny merge over n_tiles*k candidates."""
+    over N collapses to a tiny merge over n_tiles*k candidates.
+    ``nvalid_ref``/``normalize``: see _rank_topk_bf16_kernel."""
     j = pl.program_id(0)
     p = pred_ref[:]  # [B, D]
-    norm = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
-    pn = p / jnp.maximum(norm, _NORM_EPS)
+    if normalize:
+        norm = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
+        p = p / jnp.maximum(norm, _NORM_EPS)
     s = jax.lax.dot_general(
-        pn,
+        p,
         table_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -95,7 +97,7 @@ def _rank_topk_kernel(pred_ref, table_ref, val_ref, idx_ref, *, k, tile_n,
     gidx = lane + j * tile_n
     # Mask table padding rows (their score is exactly 0, which would beat
     # genuinely negative cosines).
-    s = jnp.where(gidx < num_entities, s, -jnp.inf)
+    s = jnp.where(gidx < nvalid_ref[0], s, -jnp.inf)
     vals, idxs = [], []
     for _ in range(k):
         m = jnp.max(s, axis=1, keepdims=True)  # [B, 1]
@@ -112,15 +114,171 @@ def _rank_topk_kernel(pred_ref, table_ref, val_ref, idx_ref, *, k, tile_n,
     idx_ref[0] = jnp.concatenate(idxs, axis=1)
 
 
+# Segment geometry for the bf16-streamed kernel's candidate extraction.
+# Capacity 4: a true top-k member is lost only when 4+ higher-approx-scoring
+# entities share its 128-lane segment — at the _BF16_MIN_N gate (see the
+# engine) that is a < 1e-5 coincidence; at the small N of unit tests it
+# would be common, which is why the engine gates and the tests use planted
+# structure.
+_SEG = 128                      # lanes per segment
+_SEG_TOP = 4                    # candidates kept per segment
+_NSEG = 2048 // _SEG            # segments per tile (TILE_N / SEG)
+_BF16_CANDS = _NSEG * _SEG_TOP  # candidates emitted per tile (64)
+
+# Engine-side gate: only stream bf16 for tables where segment-collision
+# displacement is negligible (and where the table read is worth halving).
+BF16_MIN_N = 200_000
+
+
+def _rank_topk_bf16_kernel(nvalid_ref, pred_ref, table_ref, val_ref, idx_ref,
+                           *, tile_n, normalize):
+    """bf16-streamed variant of _rank_topk_kernel: the table tile arrives as
+    bfloat16 (HALF the HBM bytes of the dominant stream) and the dot is one
+    bf16 MXU pass instead of fp32-emulation's six.
+
+    Candidate extraction is SEGMENTED, not exact: the tile splits into 16
+    segments of 128 lanes and each segment emits its top-_SEG_TOP by
+    approximate score — ~4*_SEG_TOP full-width vector passes total
+    independent of k, vs ~4*k for the exact max/argmin/mask loop (which
+    measured as the whole path's bottleneck: round-3 benchmarks, the
+    exact-extraction bf16 kernel was SLOWER than the fp32 6-pass kernel).
+    Sloppiness is safe because the caller re-scores the merged pool against
+    the fp32 table: a true top-k member is lost only if >= _SEG_TOP
+    entities with higher approximate score land in its own 128-lane segment
+    — a < 1e-5 coincidence above the BF16_MIN_N gate (and exact DUPLICATES
+    are kept in index order, so tie-heavy tables still resolve like
+    lax.top_k).
+
+    ``nvalid_ref`` is a traced (scalar-prefetch) valid-row count: rows at
+    index >= nvalid are masked to -inf (zero-padded table rows would
+    otherwise score exactly 0). Traced (not static) so the tensor-parallel
+    path can pass a per-shard count computed from the shard index."""
+    j = pl.program_id(0)
+    p = pred_ref[:]  # [B, D] fp32
+    if normalize:
+        norm = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))
+        p = p / jnp.maximum(norm, _NORM_EPS)
+    pn = p.astype(jnp.bfloat16)
+    s = jax.lax.dot_general(
+        pn,
+        table_ref[:],  # [TILE_N, D] bf16
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )  # [B, TILE_N] fp32 accumulation of one bf16 pass
+    b = s.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    s = jnp.where(lane < nvalid_ref[0] - j * tile_n, s, -jnp.inf)
+    nseg = tile_n // _SEG
+    seg = s.reshape(b, nseg, _SEG)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (b, nseg, _SEG), 2)
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, nseg), 1) * _SEG + j * tile_n
+    )
+    ms, ids = [], []
+    for _ in range(_SEG_TOP):
+        m = jnp.max(seg, axis=2)  # [B, nseg]
+        a = jnp.min(jnp.where(seg == m[..., None], lane3, _SEG), axis=2)
+        ms.append(m)
+        ids.append(base + a)
+        seg = jnp.where(lane3 == a[..., None], -jnp.inf, seg)
+    # Candidates are laid out rank-major ([all segs' top-1 | all top-2 |
+    # ...]) — a plain lane concat; the seg-major interleave is a
+    # (B, nseg, cap) -> (B, nc) minor-dim reshape Mosaic cannot lower. The
+    # merge therefore does NOT see ascending-id order for equal values; the
+    # fp32 rescore + lexsort fixes ordering for everything that reaches the
+    # pool (only a boundary value duplicated more often than the whole
+    # rescore pool could retain the wrong ids — see rank_topk_fused).
+    nc = nseg * _SEG_TOP
+    val_ref[0] = jnp.concatenate(
+        ms + [jnp.full((b, 128 - nc), -jnp.inf, jnp.float32)], axis=1
+    )
+    idx_ref[0] = jnp.concatenate(
+        ids + [jnp.zeros((b, 128 - nc), jnp.int32)], axis=1
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_entities", "interpret")
+    jax.jit, static_argnames=("interpret", "normalize")
 )
-def _rank_topk_pallas(pred, table_norm, k, num_entities, interpret=False):
+def _rank_topk_bf16_pallas(pred, table_bf16, nvalid, interpret=False,
+                           normalize=True):
+    b, d = pred.shape
+    n = table_bf16.shape[0]
+    nt = n // _TILE_N
+    kern = functools.partial(
+        _rank_topk_bf16_kernel, tile_n=_TILE_N, normalize=normalize
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, d), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nt, b, 128), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=4 * b * d + 2 * n * d + 8 * b * nt * _BF16_CANDS,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(nvalid, jnp.int32).reshape(1), pred, table_bf16)
+
+
+# Merge-pool margin for the bf16-streamed path. Correctness condition: every
+# true top-k entity must survive (a) its segment's top-2 approximate
+# extraction (see _rank_topk_bf16_kernel) and (b) the approximate merge to
+# the rescore pool of k + _BF16_RESCORE_POOL. An entity can only be
+# displaced by competitors whose TRUE score is within 2*eps of its own
+# (eps ~ 2^-8 cosine units, one bf16 rounding per operand), so the margin
+# bounds how many near-boundary competitors are tolerated — ample for
+# embedding tables (verified bit-exact on the golden/tie-break suites; the
+# fp32-exact 6-pass kernel remains available by not passing table_bf16).
+_BF16_RESCORE_POOL = 16
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "normalize")
+)
+def _rank_topk_pallas(pred, table_norm, k, nvalid, interpret=False,
+                      normalize=True):
     b, d = pred.shape
     n = table_norm.shape[0]
     nt = n // _TILE_N
     kern = functools.partial(
-        _rank_topk_kernel, k=k, tile_n=_TILE_N, num_entities=num_entities
+        _rank_topk_kernel, k=k, tile_n=_TILE_N, normalize=normalize
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, d), lambda j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
     )
     return pl.pallas_call(
         kern,
@@ -130,27 +288,14 @@ def _rank_topk_pallas(pred, table_norm, k, num_entities, interpret=False):
             jax.ShapeDtypeStruct((nt, b, 128), jnp.float32),
             jax.ShapeDtypeStruct((nt, b, 128), jnp.int32),
         ),
-        grid_spec=pl.GridSpec(
-            grid=(nt,),
-            in_specs=[
-                pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((_TILE_N, d), lambda j: (j, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b, 128), lambda j: (j, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-        ),
+        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
             bytes_accessed=4 * (b * d + n * d + 2 * b * nt * k),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(pred, table_norm)
+    )(jnp.asarray(nvalid, jnp.int32).reshape(1), pred, table_norm)
 
 
 def supports_topk(pred_shape: tuple[int, int], n: int, k: int) -> bool:
@@ -165,6 +310,7 @@ def rank_topk_fused(
     k: int,
     num_entities: int,
     *,
+    table_bf16: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """[B, D] raw predictions x [N_pad, D] pre-normalized (zero-padded) table
@@ -176,7 +322,21 @@ def rank_topk_fused(
     one table tile and emits k candidates; the final merge ranks the
     [B, n_tiles*k] candidate pool (candidates are ordered (tile, desc-value/
     asc-index), so equal values resolve to the lowest global index exactly
-    like lax.top_k). Falls back to score + lax.top_k off-gate."""
+    like lax.top_k). Falls back to score + lax.top_k off-gate.
+
+    ``table_bf16``: a cached bfloat16 copy of ``table_norm`` (the engine
+    builds it once at load). When given, the kernel streams the bf16 table
+    — HALF the HBM bytes and one MXU pass instead of six — extracting
+    top-2-per-128-lane-segment approximate candidates per tile (~6 vector
+    passes, vs the exact loop's ~4k); the merged pool's best
+    _BF16_RESCORE_POOL + k candidates are then re-scored exactly against
+    the fp32 table, so returned (values, ids) match the fp32 kernel's (see
+    the margin comments above for the guarantee's bound). Value note: the
+    rescored dot can differ from the dense matmul's score by ~1 ulp
+    (different reduction order), so two DISTINCT entities whose exact
+    scores are within 1 ulp of each other may order differently than
+    lax.top_k — exact duplicates still resolve identically (lexsort on
+    ids)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b = pred.shape[0]
@@ -185,6 +345,40 @@ def rank_topk_fused(
             rank_ops.l2_normalize(pred), table_norm
         )[:, :num_entities]
         return jax.lax.top_k(scores, k)
+    if table_bf16 is not None:
+        nc = _BF16_CANDS
+        cand_v, cand_i = _rank_topk_bf16_pallas(
+            pred, table_bf16, num_entities, interpret=interpret
+        )
+        nt = cand_v.shape[0]
+        cv = jnp.transpose(cand_v[:, :, :nc], (1, 0, 2)).reshape(b, nt * nc)
+        ci = jnp.transpose(cand_i[:, :, :nc], (1, 0, 2)).reshape(b, nt * nc)
+        # Approximate merge: shrink the pool to the rescore size. For equal
+        # approximate values the flattened candidate order IS ascending
+        # global id (tiles ascending, asc-index within a tile's ties), and
+        # lax.top_k keeps the lowest position among ties — so boundary ties
+        # keep the lowest ids, matching the exact path's tie-break.
+        m = min(k + _BF16_RESCORE_POOL, nt * nc)
+        av, pos = jax.lax.top_k(cv, m)
+        ids = jnp.take_along_axis(ci, pos, axis=1)  # [B, m]
+        # Exact re-score of the pool against the fp32 table (tiny gather:
+        # m rows per query vs the N-row stream the kernel just avoided).
+        pn = rank_ops.l2_normalize(pred)
+        rows = table_norm[ids]  # [B, m, D]
+        exact = jax.lax.dot_general(
+            pn, rows,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, m]
+        # An exhausted/masked tile emits filler candidates (approx -inf with
+        # an arbitrary in-range id) — they must stay -inf through the
+        # rescore or a duplicate id could resurface with its true score.
+        exact = jnp.where(av == -jnp.inf, -jnp.inf, exact)
+        order = jnp.lexsort((ids, -exact), axis=1)[:, :k]
+        return (
+            jnp.take_along_axis(exact, order, axis=1),
+            jnp.take_along_axis(ids, order, axis=1),
+        )
     cand_v, cand_i = _rank_topk_pallas(
         pred, table_norm, k, num_entities, interpret=interpret
     )
@@ -198,6 +392,36 @@ def rank_topk_fused(
     v, pos = jax.lax.top_k(cv, k)
     i = jnp.take_along_axis(ci, pos, axis=1)
     return v, i
+
+
+def rank_topk_local(
+    pred_norm: jax.Array,
+    table_norm_shard: jax.Array,
+    k: int,
+    nvalid: jax.Array | int,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-shard fused rank+top-k for the tensor-parallel path
+    (parallel/sharded_rank.py): queries arrive ALREADY normalized (the TP
+    merge requires every shard to consume identical query bits), and
+    ``nvalid`` is a TRACED valid-row count (rows >= nvalid masked to -inf)
+    computed from the shard index. Returns (values [B, k], LOCAL shard
+    indices [B, k]) — bit-identical to
+    ``lax.top_k(where(iota < nvalid, pred_norm @ shard.T, -inf), k)``.
+    Caller must check ``supports_topk`` first (no fallback here)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b = pred_norm.shape[0]
+    cand_v, cand_i = _rank_topk_pallas(
+        pred_norm, table_norm_shard, k, nvalid, interpret=interpret,
+        normalize=False,
+    )
+    nt = cand_v.shape[0]
+    cv = jnp.transpose(cand_v[:, :, :k], (1, 0, 2)).reshape(b, nt * k)
+    ci = jnp.transpose(cand_i[:, :, :k], (1, 0, 2)).reshape(b, nt * k)
+    v, pos = jax.lax.top_k(cv, k)
+    return v, jnp.take_along_axis(ci, pos, axis=1)
 
 
 def supports(pred_shape: tuple[int, int], n: int) -> bool:

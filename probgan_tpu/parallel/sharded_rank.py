@@ -59,18 +59,31 @@ def sharded_rank_topk(
     """
     n = num_entities if num_entities is not None else table_norm_sharded.shape[0]
 
+    from probgan_tpu.ops import pallas_rank
+
     def local_rank(q, table_shard):
         local_n = table_shard.shape[0]
-        scores = jnp.matmul(
-            q, table_shard.T, precision=jax.lax.Precision.HIGHEST
-        )  # [B, N/m]
-        gidx = (
-            jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-            + jax.lax.axis_index(axis) * local_n
-        )
-        scores = jnp.where(gidx < n, scores, -jnp.inf)
         k_local = min(k, local_n)
-        v, i = jax.lax.top_k(scores, k_local)
+        if pallas_rank.supports_topk(q.shape, local_n, k_local):
+            # Per-shard fused rank+top-k: the [B, N/m] shard score matrix
+            # never touches HBM — the same kernel the single-device path
+            # runs, with the pad mask as a traced per-shard row count.
+            # Bit-identical to the dense masked top_k below (same HIGHEST
+            # dot over D, same lowest-index tie-break).
+            nvalid = jnp.clip(
+                n - jax.lax.axis_index(axis) * local_n, 0, local_n
+            )
+            v, i = pallas_rank.rank_topk_local(q, table_shard, k_local, nvalid)
+        else:
+            scores = jnp.matmul(
+                q, table_shard.T, precision=jax.lax.Precision.HIGHEST
+            )  # [B, N/m]
+            gidx = (
+                jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                + jax.lax.axis_index(axis) * local_n
+            )
+            scores = jnp.where(gidx < n, scores, -jnp.inf)
+            v, i = jax.lax.top_k(scores, k_local)
         i = i + jax.lax.axis_index(axis) * local_n  # local -> global entity ids
         if k_local < k:  # tiny shard: pad candidates (sort last, never win)
             v = jnp.pad(v, ((0, 0), (0, k - k_local)),

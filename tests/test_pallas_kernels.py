@@ -128,3 +128,97 @@ def test_rank_topk_fused_fallback_off_gate():
     scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
     want_v, want_i = jax.lax.top_k(scores, 10)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_rank_topk_bf16_stream_matches_exact_path():
+    """The bf16-streamed kernel + fp32 rescore must return the SAME
+    (values, ids) as the exact path: ids bit-equal, values fp32-class.
+
+    The top-k rows are PLANTED at scattered indices with clear margins:
+    at unit-test table sizes a fully random table puts several of the
+    global top-k into one 128-lane segment with non-negligible probability
+    — exactly the small-N regime the engine's BF16_MIN_N gate excludes
+    (ops/pallas_rank.py); this test verifies the mechanics (stream,
+    segmented extraction, merge, rescore), not that statistical bound."""
+    rng = np.random.RandomState(21)
+    n, n_pad, d, b, k = 4000, 4096, 128, 16, 10
+    base = rng.standard_normal((n_pad, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    # plant matches with DISTINCT target cosines (0.98, 0.95, ...): blending
+    # q with an orthogonal direction sets the cosine explicitly — scaling q
+    # alone would normalize away to k exact near-ties, whose sub-ulp order
+    # is unspecified (see rank_topk_fused's value note).
+    spots = rng.choice(n, size=(b, k), replace=False)
+    for bi in range(b):
+        qn = q[bi] / np.linalg.norm(q[bi])
+        for rank, ent in enumerate(spots[bi]):
+            r = base[ent] - np.dot(base[ent], qn) * qn
+            r /= np.linalg.norm(r)
+            c = 0.98 - 0.03 * rank
+            base[ent] = c * qn + np.sqrt(1.0 - c * c) * r
+    base[n:] = 0.0
+    table_norm = np.array(rank_ops.l2_normalize(jnp.asarray(base)))
+    table_norm[n:] = 0.0
+    table_norm = jnp.asarray(table_norm)
+    table_bf16 = table_norm.astype(jnp.bfloat16)
+    pred = jnp.asarray(q)
+
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores[:, :n], k)
+    got_v, got_i = pallas_rank.rank_topk_fused(
+        pred, table_norm, k, n, table_bf16=table_bf16, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=2e-6)
+
+
+def test_rank_topk_bf16_stream_tie_break_and_duplicates():
+    """Exact duplicate rows across tile boundaries: the streamed path's
+    approximate merge + rescore must still resolve ties to the lowest ids."""
+    d = 128
+    base = np.array(
+        jax.random.normal(jax.random.key(22), (4096, d), jnp.float32)
+    )
+    for dup in (2047, 2048, 3000):
+        base[dup] = base[5]
+    table_norm = jnp.asarray(
+        base / np.maximum(np.linalg.norm(base, axis=1, keepdims=True), 1e-12)
+    )
+    table_bf16 = table_norm.astype(jnp.bfloat16)
+    pred = jnp.tile(jnp.asarray(base[5:6]), (8, 1))
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores, 6)
+    got_v, got_i = pallas_rank.rank_topk_fused(
+        pred, table_norm, 6, 4096, table_bf16=table_bf16, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=2e-6)
+
+
+def test_rank_topk_bf16_stream_masked_tile_fillers():
+    """A mostly-masked table (num_entities barely over one tile) makes
+    exhausted tiles emit -inf fillers carrying arbitrary in-range ids; the
+    rescore must NOT resurrect them as duplicate results."""
+    d = 128
+    n = 2050  # tile 2 has only 2 real rows; k_ex > 2 forces fillers
+    n_pad = 4096
+    table = np.array(
+        jax.random.normal(jax.random.key(23), (n_pad, d), jnp.float32)
+    )
+    table[n:] = 0.0
+    table_norm = jnp.asarray(
+        table / np.maximum(np.linalg.norm(table, axis=1, keepdims=True), 1e-12)
+    )
+    table_bf16 = table_norm.astype(jnp.bfloat16)
+    pred = jax.random.normal(jax.random.key(24), (8, d), jnp.float32)
+    scores = rank_ops.cosine_scores(rank_ops.l2_normalize(pred), table_norm)
+    want_v, want_i = jax.lax.top_k(scores[:, :n], 10)
+    got_v, got_i = pallas_rank.rank_topk_fused(
+        pred, table_norm, 10, n, table_bf16=table_bf16, interpret=INTERPRET
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    # no duplicate ids per row
+    ids = np.asarray(got_i)
+    for row in ids:
+        assert len(set(row.tolist())) == len(row)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v), atol=2e-6)
