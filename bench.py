@@ -159,6 +159,34 @@ def main() -> None:
 
     log(f"device: {ips:.2f} img/s, p50 {p50_ms:.2f} ms/img over {len(latencies)} batches")
 
+    # Secondary metric: the "fast" serving grade (cheapest precision mode
+    # measured >= 50 dB PSNR vs the parity path; benchmarks/packed_psnr.py
+    # verifies the grade). Only measured when the headline runs the default
+    # parity configuration, so the extra compile is the only added cost.
+    fast_ips = None
+    if PRECISION == "high" and packed:
+        @jax.jit
+        def gen_checksum_fast(params, latents):
+            def step(acc, zb):
+                img = generate_fn(
+                    params, zb, alpha, cfg, stage, dtype, use_pallas, "fast",
+                    packed,
+                )
+                return acc + jnp.sum(img.astype(jnp.int32)), None
+
+            acc, _ = jax.lax.scan(step, jnp.int32(0), latents)
+            return acc
+
+        log("compiling fast-grade graph...")
+        float(gen_checksum_fast(g_params, z_chain))
+        float(gen_checksum_fast(g_params, z_chain))  # warmup
+        fimages, t_start = 0, time.perf_counter()
+        while time.perf_counter() - t_start < min(SECONDS, 5.0):
+            float(gen_checksum_fast(g_params, z_chain))
+            fimages += BATCH * CHAIN
+        fast_ips = fimages / (time.perf_counter() - t_start)
+        log(f"fast grade (>=50 dB): {fast_ips:.2f} img/s")
+
     # Roofline accounting (VERDICT r1 #10): ideal HBM traffic per image under
     # the packed execution model — each stage's upconv reads act(s-1) and
     # writes act(s); conv2 reads+writes act(s); the final stage writes RGB
@@ -180,18 +208,20 @@ def main() -> None:
         f"{ips * bytes_per_img / 1e9:.0f} GB/s ({100*hbm_bw_util:.0f}% of "
         f"819 GB/s nominal)")
 
-    print(
-        json.dumps(
-            {
-                "metric": f"images_per_sec_chip_{RES}x{RES}_generator_forward",
-                "value": round(ips, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips > 0 else None,
-                "p50_ms_per_image_chained": round(p50_ms, 2),
-                "hbm_bw_util": round(hbm_bw_util, 3),
-            }
+    result = {
+        "metric": f"images_per_sec_chip_{RES}x{RES}_generator_forward",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips > 0 else None,
+        "p50_ms_per_image_chained": round(p50_ms, 2),
+        "hbm_bw_util": round(hbm_bw_util, 3),
+    }
+    if fast_ips is not None:
+        result["fast_grade_img_per_sec"] = round(fast_ips, 3)
+        result["fast_grade_vs_baseline"] = (
+            round(fast_ips / cpu_ips, 2) if cpu_ips > 0 else None
         )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--res", type=int, default=1024)
     parser.add_argument("--batch", type=int, default=2)
-    parser.add_argument("--modes", default="highest,exact6,high,default")
+    parser.add_argument("--modes", default="highest,exact6,high,mid,default")
     parser.add_argument("--seed", type=int, default=7)
     args = parser.parse_args()
 

@@ -65,9 +65,11 @@ def main() -> None:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--precision", type=str, default="high",
-                        choices=["default", "high", "highest"],
+                        choices=["default", "fast", "high", "highest"],
                         help="MXU precision; 'high' is the parity-grade "
-                             "setting (>50 dB vs the fp32 CPU reference)")
+                             "setting; 'fast' is the cheapest grade above "
+                             "the 50 dB bar (packed 1-pass bf16 late stages "
+                             "under HIGH early stages)")
     args = parser.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 

@@ -61,13 +61,18 @@ def generate_fn(
     "highest" (6-pass).
 
     ``packed``: route eligible late stages through the phase-blocked Pallas
-    kernels (ops/pallas_packed.py) — the TPU production configuration."""
-    rgb = pro_gan.generator_rgb(
+    kernels (ops/pallas_packed.py) — the TPU production configuration. On
+    that path the tanh->uint8 denorm is fused into the final kernel's
+    epilogue (byte-packed int32 write, 8x smaller — pro_gan.generator_apply;
+    PROBGAN_FUSED_UINT8=0 restores the XLA denorm)."""
+    if use_pallas:
+        rgb = pro_gan.generator_rgb(
+            g_params, z, config, stage, alpha, dtype, precision, packed=packed
+        )
+        return pallas_image.to_uint8_fused(rgb)
+    return pro_gan.generator_apply(
         g_params, z, config, stage, alpha, dtype, precision, packed=packed
     )
-    if use_pallas:
-        return pallas_image.to_uint8_fused(rgb)
-    return pro_gan.to_uint8(rgb)
 
 
 @partial(
@@ -181,9 +186,18 @@ class ImageGANEngine:
                     g_params = pro_gan.init_generator(kg, config)
                 if d_params is None:
                     d_params = pro_gan.init_discriminator(kd, config)
-        put = partial(jax.device_put, device=self.device)
-        self.g_params = jax.tree.map(put, g_params)
-        self.d_params = jax.tree.map(put, d_params)
+        if self.mesh is not None:
+            # Replicate ONCE over the mesh: the DP serving paths otherwise
+            # re-transfer the full tree from its single home device on every
+            # call (and jit would partition a single-device-committed tree).
+            from probgan_tpu.parallel.sharded_image import replicate_params
+
+            self.g_params = replicate_params(self.mesh, g_params)
+            self.d_params = replicate_params(self.mesh, d_params)
+        else:
+            put = partial(jax.device_put, device=self.device)
+            self.g_params = jax.tree.map(put, g_params)
+            self.d_params = jax.tree.map(put, d_params)
 
     @property
     def final_stage(self) -> int:
@@ -225,7 +239,25 @@ class ImageGANEngine:
     def score(self, images, stage: int | None = None, alpha: float = 1.0) -> np.ndarray:
         if stage is None:
             stage = self.final_stage
-        x = jax.device_put(jnp.asarray(images, jnp.float32), self.device)
+        x = jnp.asarray(images, jnp.float32)
+        if self.mesh is not None and x.shape[0] % self.mesh.devices.size == 0:
+            from probgan_tpu.parallel.sharded_image import dp_score
+
+            with task_trace("score_images"):
+                logits = dp_score(
+                    self.mesh, self.d_params, x, self.config, stage, alpha,
+                    self.dtype, self.precision, packed=self.packed,
+                )
+                return np.asarray(jax.device_get(logits))
+        if self.mesh is not None:
+            # Batch doesn't divide the mesh (minibatch stddev forbids
+            # padding): run replicated — every device computes the full
+            # batch, logits identical to single-device.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(self.mesh, P()))
+        else:
+            x = jax.device_put(x, self.device)
         with task_trace("score_images"):
             return np.asarray(
                 jax.device_get(
@@ -241,6 +273,25 @@ class ImageGANEngine:
     ) -> np.ndarray:
         if stage is None:
             stage = self.final_stage
+        if self.mesh is not None:
+            # DP walk: interpolate on host math (identical to latent_walk_fn's
+            # linspace lerp), render the frame batch data-parallel.
+            from probgan_tpu.parallel.sharded_image import dp_generate
+
+            z0j = jnp.asarray(z0, jnp.float32)
+            z1j = jnp.asarray(z1, jnp.float32)
+            t = jnp.linspace(0.0, 1.0, frames, dtype=jnp.float32)[:, None]
+            z = z0j[None, :] * (1.0 - t) + z1j[None, :] * t
+            n_dev = self.mesh.devices.size
+            pad = (-frames) % n_dev
+            if pad:
+                z = jnp.pad(z, ((0, pad), (0, 0)))
+            with task_trace("latent_walk"):
+                img = dp_generate(
+                    self.mesh, self.g_params, z, self.config, stage, alpha,
+                    self.dtype, self.precision, packed=self.packed,
+                )
+                return np.asarray(jax.device_get(img))[:frames]
         z0 = jax.device_put(jnp.asarray(z0, jnp.float32), self.device)
         z1 = jax.device_put(jnp.asarray(z1, jnp.float32), self.device)
         with task_trace("latent_walk"):

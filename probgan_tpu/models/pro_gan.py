@@ -269,10 +269,13 @@ _PACKED_MODES = {
     "default": "default",
     jax.lax.Precision.DEFAULT: "default",
     # "fast": the cheapest mode measured >= 50 dB end-to-end at 1024²
-    # (benchmarks/packed_psnr.py) — the 2-term "mid" split. The 1-pass
-    # "default" mode sits ~2 dB below the bar; 3-term "high" is above the
-    # bar but slower. Serving grade only; never used by golden tests.
-    "fast": "mid",
+    # (benchmarks/packed_psnr.py: 52.7/54.1 dB over two seeds/batches; the
+    # 2-term "mid" sits at 54.7/55.8). The key is that the fast GRADE keeps
+    # the early XLA stages at 3-pass HIGH (cheap — they are ~18% of the
+    # forward) so only the packed late stages run 1-pass bf16; an all-
+    # default pipeline measures ~48 dB, below the bar. Serving grade only;
+    # never used by golden tests.
+    "fast": "default",
     "high": "highest",
     jax.lax.Precision.HIGH: "highest",
     "highest": "highest",
@@ -288,6 +291,7 @@ def _g_late_packed(
     stage: int,
     alpha,
     precision,
+    emit: str = "rgb",  # "rgb" (pre-tanh fp32) | "uint8" (fused denorm)
 ) -> jax.Array:
     """Run stages [s0, stage] with the phase-blocked Pallas kernels and
     return the blended pre-tanh RGB in NHWC. Inference-only (no VJP).
@@ -318,6 +322,7 @@ def _g_late_packed(
         w = p["w"]
         return (w * _he_scale(w.shape[2], gain=1.0))[0, 0]
 
+    emit_uint8 = emit == "uint8"
     x = pk.nhwc_to_packed(x_entry.astype(jnp.float32))
     p = 1
     for s in range(s0, stage + 1):
@@ -331,7 +336,10 @@ def _g_late_packed(
                     rgb_w(params["to_rgb"][s - 1]),
                     params["to_rgb"][s - 1]["b"],
                     jnp.asarray(alpha, jnp.float32), p, mode=mode,
+                    emit_uint8=emit_uint8,
                 )
+                if emit_uint8:
+                    return pk.packed_u32_to_nhwc_uint8(rgb, 2 * p)
                 return pk.packed_rgb_to_nhwc(rgb, 2 * p)
             x = pk.packed_upconv_conv(
                 x, conv_w(block["conv1"]), block["conv1"]["b"],
@@ -355,7 +363,10 @@ def _g_late_packed(
                 feats, conv_w(block["conv2"]), block["conv2"]["b"],
                 rgb_w(params["to_rgb"][s]), params["to_rgb"][s]["b"],
                 rgb_prev8, jnp.asarray(alpha, jnp.float32), p, mode=mode,
+                emit_uint8=emit_uint8,
             )
+            if emit_uint8:
+                return pk.packed_u32_to_nhwc_uint8(rgb, p)
             return pk.packed_rgb_to_nhwc(rgb, p)
         x = pk.packed_conv(
             feats, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode
@@ -400,6 +411,17 @@ def generator_rgb(
     return rgb
 
 
+def _fused_uint8_enabled() -> bool:
+    """Gate for the fused tanh->uint8 packed epilogue (the north star's
+    final stage inside the kernel: the last HBM write shrinks 8x from
+    8-channel fp32 RGB to byte-packed int32). Captured at TRACE time like
+    PROBGAN_PACKED. Default ON; PROBGAN_FUSED_UINT8=0 restores the XLA
+    denorm (uint8 outputs are bit-identical either way — parity-tested)."""
+    import os
+
+    return os.environ.get("PROBGAN_FUSED_UINT8", "1") != "0"
+
+
 def generator_apply(
     params: dict,
     z: jax.Array,
@@ -411,6 +433,15 @@ def generator_apply(
     packed: bool = False,
 ) -> jax.Array:
     """Full image path: latent -> uint8 image [B, R, R, 3]."""
+    s0 = None
+    if packed and dtype == jnp.float32 and _fused_uint8_enabled():
+        s0 = packed_start_stage(config, stage)
+    if s0 is not None:
+        x = _g_base(params, z, config, dtype, precision)
+        for s in range(1, s0):
+            x = _g_block(params["blocks"][s - 1], x, precision)
+        return _g_late_packed(params, x, config, s0, stage, alpha, precision,
+                              emit="uint8")
     return to_uint8(
         generator_rgb(params, z, config, stage, alpha, dtype, precision,
                       packed=packed)
@@ -445,10 +476,22 @@ def init_discriminator(key: jax.Array, config: ProGANConfig) -> dict:
     return params
 
 
-def minibatch_stddev(x: jax.Array) -> jax.Array:
-    """Append one channel holding the batch-wide mean feature stddev."""
+def minibatch_stddev(
+    x: jax.Array, axis_name: str | tuple[str, ...] | None = None
+) -> jax.Array:
+    """Append one channel holding the batch-wide mean feature stddev.
+
+    ``axis_name``: when the batch is sharded over a mesh axis (shard_map DP
+    scoring, parallel/sharded_image.py), statistics are computed over the
+    GLOBAL batch via pmean — mathematically equal to the single-device
+    statistics (equal per-device batch sizes), up to float reduction
+    order."""
     mean = jnp.mean(x, axis=0, keepdims=True)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
     var = jnp.mean(jnp.square(x - mean), axis=0, keepdims=True)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
     stddev = jnp.mean(jnp.sqrt(var + 1e-8))
     feat = jnp.full(x.shape[:3] + (1,), stddev, dtype=x.dtype)
     return jnp.concatenate([x, feat], axis=-1)
@@ -559,6 +602,7 @@ def discriminator_apply(
     precision=None,
     remat: bool = False,
     packed: bool = False,
+    stddev_axis: str | None = None,
 ) -> jax.Array:
     """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
     realness logit [B]. Mirrors the generator's progressive blend: after the
@@ -590,7 +634,7 @@ def discriminator_apply(
             )
             a = jnp.asarray(alpha, dtype=x.dtype)
             x = skip + a * (x - skip)
-    x = minibatch_stddev(x)
+    x = minibatch_stddev(x, axis_name=stddev_axis)
     x = lrelu(eq_conv(params["final_conv"], x, precision=precision))
     x = x.reshape(x.shape[0], -1)
     x = lrelu(eq_dense(params["final_dense"], x, precision=precision))

@@ -521,6 +521,18 @@ def packed_convpool(
 # final-stage conv: conv + act + norm -> toRGB -> alpha blend; writes RGB only
 # ---------------------------------------------------------------------------
 
+def _pack_rgb_u32(out: jax.Array) -> jax.Array:
+    """[8(3), W] fp32 pre-tanh RGB -> [1, W] int32 with the uint8-denormed
+    R,G,B packed into bytes 0,1,2 of each lane (byte 3 zero) — the fused
+    tanh -> scale -> round -> clip -> uint8 epilogue (models/pro_gan.py
+    to_uint8) emitting 1/8th of the 8-channel fp32 RGB write. int32 shares
+    fp32's (8, 128) tiling, sidestepping uint8's (32, 128) constraint; the
+    XLA side unpacks with one bitcast (packed_u32_to_nhwc_uint8)."""
+    t = jnp.tanh(out[0:3])
+    q = jnp.clip(jnp.round((t + 1.0) * 127.5), 0.0, 255.0).astype(jnp.int32)
+    return q[0:1] | (q[1:2] << 8) | (q[2:3] << 16)
+
+
 def packed_conv_rgb(
     x: jax.Array,         # [B, C, H, P*Wp] phase-blocked fp32
     w: jax.Array,         # [3, 3, C, Cout] eq-LR scaled
@@ -533,6 +545,7 @@ def packed_conv_rgb(
     *,
     mode: str = "high",
     interpret: bool | None = None,
+    emit_uint8: bool = False,
 ) -> jax.Array:
     """The final generator stage's tail, fused: conv2(+act+norm) -> toRGB ->
     progressive alpha blend with the upsampled previous-stage RGB. The final
@@ -541,7 +554,12 @@ def packed_conv_rgb(
     ``rgb_prev`` rides at input resolution (half rows, half columns i.e. P//2
     phase blocks) padded to 8 channels; row/column duplication happens in
     VMEM. Blend: out = prev + alpha * (rgb - prev) (models/pro_gan.py
-    generator_rgb)."""
+    generator_rgb).
+
+    ``emit_uint8``: fuse the tanh -> uint8 denorm into the epilogue and emit
+    byte-packed int32 [B, H, P*Wp] (R,G,B in bytes 0-2; unpack with
+    packed_u32_to_nhwc_uint8) — the final HBM write shrinks 8x vs the
+    8-channel fp32 RGB."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, cin, h, wtot = x.shape
@@ -568,14 +586,31 @@ def packed_conv_rgb(
             prev_row = prev_ref[0, :, pl.ds(t // 2, 1), :][:, 0, :]
             prev = _dup_blocks(prev_row, p_prev, wp)  # [8, W]
             out = prev + a * (rgb - prev)
-            out_ref[0, :, pl.ds(t, 1), :] = out[:, None, :]
+            if emit_uint8:
+                out_ref[0, pl.ds(t, 1), :] = _pack_rgb_u32(out)
+            else:
+                out_ref[0, :, pl.ds(t, 1), :] = out[:, None, :]
             return 0
 
         jax.lax.fori_loop(0, r, row_body, 0)
 
+    if emit_uint8:
+        out_shape = jax.ShapeDtypeStruct((bsz, h, wtot), jnp.int32)
+        out_spec = pl.BlockSpec(
+            (1, r, wtot), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+        )
+        out_bytes_per_px = 4
+    else:
+        out_shape = jax.ShapeDtypeStruct((bsz, 8, h, wtot), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, 8, r, wtot), lambda b, j: (b, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_bytes_per_px = 32
+
     rgb8 = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((bsz, 8, h, wtot), jnp.float32),
+        out_shape=out_shape,
         grid_spec=pl.GridSpec(
             grid=(bsz, h // r),
             in_specs=[
@@ -595,10 +630,7 @@ def packed_conv_rgb(
                 pl.BlockSpec((1, 1), lambda b, j: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 8, r, wtot), lambda b, j: (b, 0, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
                 pltpu.SemaphoreType.DMA((_NSLOT,)),
@@ -606,7 +638,7 @@ def packed_conv_rgb(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * wtot * cin * (9 * cout + 8),
-            bytes_accessed=4 * bsz * h * wtot * (cin + 8),
+            bytes_accessed=bsz * h * wtot * (4 * cin + out_bytes_per_px),
             transcendentals=bsz * h * wtot,
         ),
         interpret=interpret,
@@ -614,6 +646,8 @@ def packed_conv_rgb(
         x, wk_host, b.reshape(1, -1), wrgb_host, rgb_b8.reshape(1, -1),
         rgb_prev, jnp.asarray(alpha, jnp.float32).reshape(1, 1),
     )
+    if emit_uint8:
+        return rgb8
     return rgb8[:, :3]
 
 
@@ -891,13 +925,16 @@ def packed_upconv_conv_rgb(
     mode: str = "high",
     rows_per_step: int = 8,
     interpret: bool | None = None,
+    emit_uint8: bool = False,
 ) -> jax.Array:
     """The ENTIRE final generator stage in one kernel: upsample2x -> conv1
     (+act+norm) -> conv2 (+act+norm) -> toRGB -> progressive alpha blend
     with toRGB(input) upsampled — all from one read of the stage input; the
     only HBM write is the blended [B, 8(3), 2H, 2*P_in*Wp] RGB. The
     previous-stage RGB is computed in VMEM from the resident input rows
-    (models/pro_gan.py generator_rgb: out = prev + alpha * (rgb - prev))."""
+    (models/pro_gan.py generator_rgb: out = prev + alpha * (rgb - prev)).
+    ``emit_uint8``: see packed_conv_rgb — emits byte-packed int32
+    [B, 2H, 2*P_in*Wp]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, cin, h, wtot = x.shape
@@ -936,14 +973,30 @@ def packed_upconv_conv_rgb(
             prev = _dot(wprev_ref[:], in_row, mode) + bprev_ref[0][:, None]
             prev = _dup_blocks(prev, p_in, wp)  # [8, W_out]
             out = prev + a * (rgb - prev)
-            out_ref[0, :, pl.ds(t2, 1), :] = out[:, None, :]
+            if emit_uint8:
+                out_ref[0, pl.ds(t2, 1), :] = _pack_rgb_u32(out)
+            else:
+                out_ref[0, :, pl.ds(t2, 1), :] = out[:, None, :]
             return 0
 
         jax.lax.fori_loop(0, 2 * r, out_body, 0)
 
+    if emit_uint8:
+        out_shape = jax.ShapeDtypeStruct((bsz, 2 * h, w_out), jnp.int32)
+        out_spec = pl.BlockSpec(
+            (1, 2 * r, w_out), lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        out_shape = jax.ShapeDtypeStruct((bsz, 8, 2 * h, w_out), jnp.float32)
+        out_spec = pl.BlockSpec(
+            (1, 8, 2 * r, w_out), lambda b, j: (b, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     rgb8 = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((bsz, 8, 2 * h, w_out), jnp.float32),
+        out_shape=out_shape,
         grid_spec=pl.GridSpec(
             grid=(bsz, h // r),
             in_specs=[
@@ -967,10 +1020,7 @@ def packed_upconv_conv_rgb(
                 pl.BlockSpec((1, 1), lambda b, j: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 8, 2 * r, w_out), lambda b, j: (b, 0, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
                 pltpu.SemaphoreType.DMA((_NSLOT,)),
@@ -991,6 +1041,8 @@ def packed_upconv_conv_rgb(
         wrgb_host, rgb_b8.reshape(1, -1), wprev_host, prev_b8.reshape(1, -1),
         jnp.asarray(alpha, jnp.float32).reshape(1, 1),
     )
+    if emit_uint8:
+        return rgb8
     return rgb8[:, :3]
 
 
@@ -1012,6 +1064,17 @@ def nhwc_to_phase_blocked(x: jax.Array, p: int) -> jax.Array:
     xr = x.reshape(bsz, h, wp, p, c)       # [..., j, psi, c]: col = p*j + psi
     xr = jnp.transpose(xr, (0, 4, 1, 3, 2))  # [B, C, H, P, Wp]
     return xr.reshape(bsz, c, h, p * wp)
+
+
+def packed_u32_to_nhwc_uint8(packed: jax.Array, p: int) -> jax.Array:
+    """[B, H, P*Wp] int32 byte-packed RGB (emit_uint8 kernels) -> NHWC uint8
+    [B, H, W, 3]: un-phase-block the lanes (full column u = P*j + psi at
+    lane psi*Wp + j) and split each int32 into its 4 little-endian bytes."""
+    bsz, h, wtot = packed.shape
+    wp = wtot // p
+    x = packed.reshape(bsz, h, p, wp)
+    x = jnp.transpose(x, (0, 1, 3, 2)).reshape(bsz, h, wtot)
+    return jax.lax.bitcast_convert_type(x, jnp.uint8)[..., :3]
 
 
 def packed_rgb_to_nhwc(rgb: jax.Array, p: int) -> jax.Array:

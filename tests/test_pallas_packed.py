@@ -586,3 +586,112 @@ def test_packed_convpool_rejects_unaligned_rows_per_step():
     bias = jnp.zeros((8,), jnp.float32)
     with pytest.raises(ValueError, match="multiple of 8"):
         pk.packed_convpool(x, wgt, bias, 2, rows_per_step=4, interpret=True)
+
+
+def test_mid_mode_conv_parity():
+    """The 2-term "mid" mode (the "fast" serving grade's kernel mode) drops
+    only the weight rounding: error vs the fp32 reference is bounded by
+    ~2^-9 per dot — an order tighter than "default" would allow, an order
+    looser than "high"."""
+    b, c, cout, h, w = 1, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 70)
+    wgt = _rand((3, 3, c, cout), 71, 0.2)
+    bias = _rand((cout,), 72)
+    want = np.asarray(jax.jit(ref_conv)(x, wgt, bias))
+    got = unphase(
+        np.asarray(
+            pk.packed_conv(
+                jnp.asarray(phase_block(x, 2)), jnp.asarray(wgt),
+                jnp.asarray(bias), 2, mode="mid", interpret=True,
+            )
+        ),
+        2,
+    )
+    # Conv accumulates ~72 dropped |w_lo*x| terms (each ~2^-9 relative), and
+    # PixelNorm amplifies near-zero-rms pixels — the loose fp32 bound just
+    # pins the error CLASS (an all-bf16 "default" dot would be ~8x worse).
+    err = np.abs(got - want).max()
+    assert err < 5e-2, err
+    # the split really is w_hi * x exactly: rebuilding the conv with
+    # bf16-rounded weights must match the kernel to fp32 accuracy
+    # (x_lo is itself bf16-rounded, so "exactly" means up to ~2^-16
+    # relative — fp32-class, not bit-equal.)
+    w_hi = jnp.asarray(wgt).astype(jnp.bfloat16).astype(jnp.float32)
+    want_hi = np.asarray(jax.jit(ref_conv)(x, np.asarray(w_hi), bias))
+    assert np.abs(got - want_hi).max() < 5e-5
+
+
+def test_fast_grade_end_to_end():
+    """precision="fast" routes the packed generator through the "mid"
+    kernel mode and stays close to the fp32 path (serving-grade bound)."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    # the fast grade maps to the cheapest mode measured >= 50 dB at 1024²
+    # (kernel "default" for G with early XLA stages at HIGH; "mid" for D)
+    assert pro_gan._PACKED_MODES["fast"] == "default"
+    assert pro_gan._PACKED_MODES_D["fast"] == "mid"
+    params = pro_gan.init_generator(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (2, cfg.latent_dim), jnp.float32)
+    want = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, 1.0, precision="highest")
+    )
+    got = np.asarray(
+        pro_gan.generator_rgb(params, z, cfg, stage, 1.0, precision="fast",
+                              packed=True)
+    )
+    # The grade's contract is the north-star parity bar: uint8 PSNR >= 50 dB
+    # vs the fp32-exact path (the production measurement is
+    # benchmarks/packed_psnr.py at the real 1024² config).
+    u_want = np.asarray(pro_gan.to_uint8(jnp.asarray(want))).astype(np.float64)
+    u_got = np.asarray(pro_gan.to_uint8(jnp.asarray(got))).astype(np.float64)
+    mse = np.mean((u_got - u_want) ** 2)
+    psnr = 10 * np.log10(255.0**2 / mse) if mse > 0 else np.inf
+    assert psnr >= 50.0, psnr
+
+
+def test_fused_uint8_epilogue_exact():
+    """emit_uint8 kernels: the in-kernel tanh -> denorm -> byte-pack must
+    produce EXACTLY the same uint8 image as to_uint8(fp32-RGB path), both
+    through packed_conv_rgb and end-to-end through generator_apply."""
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    params = pro_gan.init_generator(jax.random.key(0), cfg)
+    z = jax.random.normal(jax.random.key(1), (2, cfg.latent_dim), jnp.float32)
+
+    want = np.asarray(
+        pro_gan.to_uint8(
+            pro_gan.generator_rgb(params, z, cfg, stage, 0.5,
+                                  precision="highest", packed=True)
+        )
+    )
+    got = np.asarray(
+        pro_gan.generator_apply(params, z, cfg, stage, 0.5,
+                                precision="highest", packed=True)
+    )
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_uint8_epilogue_stage_fused(monkeypatch):
+    """The stage-fused kernel's emit_uint8 path matches too."""
+    monkeypatch.setenv("PROBGAN_STAGE_FUSED", "1")
+    cfg = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                               fmap_max=64)
+    stage = cfg.num_stages - 1
+    params = pro_gan.init_generator(jax.random.key(2), cfg)
+    z = jax.random.normal(jax.random.key(3), (1, cfg.latent_dim), jnp.float32)
+    # Call the un-jitted model fns directly: the env var is read at trace
+    # time, so jit caching must not be in the way (see _g_late_packed).
+    want = np.asarray(
+        pro_gan.to_uint8(
+            pro_gan.generator_rgb(params, z, cfg, stage, 1.0,
+                                  precision="highest", packed=True)
+        )
+    )
+    got = np.asarray(
+        pro_gan.generator_apply(params, z, cfg, stage, 1.0,
+                                precision="highest", packed=True)
+    )
+    np.testing.assert_array_equal(got, want)
