@@ -172,3 +172,104 @@ def test_resolve_mesh_degenerate_single_device_any_axes():
     bad = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("x",))
     with pytest.raises(ValueError, match="axis names"):
         resolve_mesh(bad)
+
+
+def test_sharded_rank_uses_fused_kernel_at_aligned_shapes():
+    """At shard sizes satisfying the Pallas gate (local N % 2048, D % 128),
+    the TP path routes through rank_topk_local (interpret mode on CPU) and
+    must stay bit-identical to the single-device ranking — including an
+    uneven true N whose last shard is partially padding."""
+    from probgan_tpu.ops import pallas_rank
+
+    mesh = make_mesh(8, model_parallelism=8)
+    n_true = 15000  # pad to 16384 -> 8 shards x 2048 (last shard 1/3 pad)
+    n_pad = 16384
+    table = np.array(
+        jax.random.normal(jax.random.key(7), (n_pad, 128), jnp.float32)
+    )
+    table[n_true:] = 0.0
+    table_norm = rank_ops.l2_normalize(jnp.asarray(table))
+    table_norm = table_norm.at[n_true:].set(0.0)
+    q_norm = rank_ops.l2_normalize(
+        jax.random.normal(jax.random.key(8), (16, 128), jnp.float32)
+    )
+    assert pallas_rank.supports_topk((16, 128), 2048, 10)
+
+    scores = rank_ops.cosine_scores(q_norm, table_norm)[:, :n_true]
+    ref_v, ref_i = jax.lax.top_k(scores, 10)
+
+    sharded = shard_entity_table(table_norm, mesh)
+    v, i = sharded_rank_topk(q_norm, sharded, 10, mesh, num_entities=n_true)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v), atol=1e-6)
+
+
+def test_dp_score_matches_single_device():
+    """Mesh-sharded discriminator scoring: the pmean'd global minibatch
+    stddev must reproduce single-device logits (up to reduction order)."""
+    from probgan_tpu.engine.image import score_fn
+    from probgan_tpu.models import pro_gan
+    from probgan_tpu.parallel.sharded_image import dp_score
+
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    stage = cfg.num_stages - 1
+    d = pro_gan.init_discriminator(jax.random.key(0), cfg)
+    imgs = jax.random.uniform(
+        jax.random.key(1), (16, 16, 16, 3), minval=-1.0, maxval=1.0
+    )
+    mesh = make_mesh(8, model_parallelism=1)
+    got = np.asarray(dp_score(mesh, d, imgs, cfg, stage, alpha=0.7))
+    want = np.asarray(
+        score_fn(d, imgs, jnp.float32(0.7), cfg, stage, jnp.float32, None)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dp_score_rejects_indivisible_batch():
+    from probgan_tpu.models import pro_gan
+    from probgan_tpu.parallel.sharded_image import dp_score
+
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=32,
+                               fmap_max=8)
+    d = pro_gan.init_discriminator(jax.random.key(0), cfg)
+    imgs = jax.random.uniform(jax.random.key(1), (3, 8, 8, 3))
+    mesh = make_mesh(8, model_parallelism=1)
+    with pytest.raises(ValueError, match="divisible"):
+        dp_score(mesh, d, imgs, cfg, cfg.num_stages - 1)
+
+
+def test_engine_mesh_score_and_latent_walk_match_single_device():
+    """ImageGANEngine with a mesh: score() and latent_walk() route through
+    the DP paths and match the single-device engine."""
+    from probgan_tpu.engine.image import ImageGANEngine
+    from probgan_tpu.models import pro_gan
+
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    g = pro_gan.init_generator(jax.random.key(2), cfg)
+    d = pro_gan.init_discriminator(jax.random.key(3), cfg)
+    single = ImageGANEngine(cfg, g_params=g, d_params=d, device="cpu",
+                            precision=None)
+    meshed = ImageGANEngine(cfg, g_params=g, d_params=d, device="cpu",
+                            mesh="auto", precision=None)
+    assert meshed.mesh is not None
+
+    imgs = np.asarray(jax.random.uniform(
+        jax.random.key(4), (16, 16, 16, 3), minval=-1.0, maxval=1.0
+    ))
+    np.testing.assert_allclose(
+        meshed.score(imgs), single.score(imgs), rtol=1e-5, atol=1e-5
+    )
+    # non-divisible batch falls back to replicated scoring, still identical
+    np.testing.assert_allclose(
+        meshed.score(imgs[:3]), single.score(imgs[:3]), rtol=1e-5, atol=1e-5
+    )
+
+    z0 = np.asarray(jax.random.normal(jax.random.key(5), (cfg.latent_dim,)))
+    z1 = np.asarray(jax.random.normal(jax.random.key(6), (cfg.latent_dim,)))
+    walk_m = meshed.latent_walk(z0, z1, frames=12)  # pads 12 -> 16
+    walk_s = single.latent_walk(z0, z1, frames=12)
+    assert walk_m.shape == walk_s.shape == (12, 16, 16, 3)
+    diff = np.abs(walk_m.astype(np.int32) - walk_s.astype(np.int32))
+    assert diff.max() <= 1  # uint8 knife-edge pixels may differ by 1
