@@ -104,13 +104,17 @@ def progan_train_step(
             state.g_params, z, config, stage, alpha, dtype,
             packed=packed_fake,
         )
+        # Logits promote to fp32 before the loss math: with dtype=bfloat16
+        # the convs run bf16 on the MXU but the softplus/mean (and therefore
+        # the loss scale driving the gradients) stays fp32 — the standard
+        # mixed-precision recipe. No-op for fp32 training.
         real_logits = pro_gan.discriminator_apply(
             d_params, real_images, config, stage, alpha, dtype, remat=True
-        )
+        ).astype(jnp.float32)
         fake_logits = pro_gan.discriminator_apply(
             d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
             remat=True,
-        )
+        ).astype(jnp.float32)
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
 
@@ -126,7 +130,7 @@ def progan_train_step(
         )
         fake_logits = pro_gan.discriminator_apply(
             d_params, fake, config, stage, alpha, dtype, remat=True
-        )
+        ).astype(jnp.float32)
         return jnp.mean(_softplus(-fake_logits))
 
     g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)

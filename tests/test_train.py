@@ -544,3 +544,76 @@ def test_progan_train_step_packed_fake_flag():
     assert float(m1["d_loss"]) == float(m2["d_loss"])
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _flat_concat(tree):
+    return np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree.leaves(tree)]
+    )
+
+
+def test_bf16_train_step_gradient_parity():
+    """Mixed-precision (dtype=bfloat16) gradients must agree in direction
+    with the fp32 gradients — the parity evidence behind the bf16 training
+    path (convs bf16 on the MXU; params/loss math fp32)."""
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    real = jax.random.uniform(jax.random.key(1), (8, r, r, 3), minval=-1,
+                              maxval=1)
+    z = jax.random.normal(jax.random.key(2), (8, cfg.latent_dim))
+
+    def d_grads(dtype):
+        def loss(d_params):
+            fake = pro_gan.generator_rgb(state.g_params, z, cfg, stage, 1.0,
+                                         dtype)
+            rl = pro_gan.discriminator_apply(
+                d_params, real.astype(dtype), cfg, stage, 1.0, dtype
+            ).astype(jnp.float32)
+            fl = pro_gan.discriminator_apply(
+                d_params, jax.lax.stop_gradient(fake), cfg, stage, 1.0, dtype
+            ).astype(jnp.float32)
+            return jnp.mean(jax.nn.softplus(-rl)) + jnp.mean(jax.nn.softplus(fl))
+
+        return jax.grad(loss)(state.d_params)
+
+    g32 = _flat_concat(d_grads(jnp.float32))
+    g16 = _flat_concat(d_grads(jnp.bfloat16))
+    assert g16.dtype == np.float64 and np.all(np.isfinite(g16))
+    cos = np.dot(g32, g16) / (np.linalg.norm(g32) * np.linalg.norm(g16))
+    assert cos > 0.99, cos
+    rel = np.linalg.norm(g32 - g16) / np.linalg.norm(g32)
+    assert rel < 0.15, rel
+
+
+def test_bf16_train_loss_curve_matches_fp32():
+    """A short bf16 training run must track the fp32 loss curve (loss-curve
+    equivalence for the mixed-precision path) and keep fp32 params."""
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    stage = cfg.num_stages - 1
+    r = pro_gan.stage_resolution(stage)
+    real = jax.random.uniform(jax.random.key(1), (8, r, r, 3), minval=-1,
+                              maxval=1)
+
+    curves = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+        losses = []
+        for step in range(6):
+            z = jax.random.normal(jax.random.fold_in(jax.random.key(2), step),
+                                  (8, cfg.latent_dim))
+            state, metrics = train_engine.progan_train_step(
+                state, real, z, jnp.float32(1.0), cfg, stage, 1e-3,
+                dtype=dtype,
+            )
+            losses.append(float(metrics["d_loss"]))
+        curves[dtype] = losses
+        assert all(
+            leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(state.g_params)
+        )
+    diff = np.abs(np.asarray(curves[jnp.float32]) -
+                  np.asarray(curves[jnp.bfloat16]))
+    assert diff.max() < 0.1, curves
