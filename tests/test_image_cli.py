@@ -138,3 +138,80 @@ def test_load_image_checkpoint_trees_names_both(tmp_path):
     save_image_checkpoint(path2, CFG, g)
     _, _, no_ema, _ = load_image_checkpoint_trees(path2)
     assert no_ema is None
+
+
+def test_image_quality_metrics_and_eval_tool(tmp_path, capsys):
+    """benchmarks/image_quality.py orders obviously-better samples first,
+    and the eval tool reports EMA vs raw by name (here EMA is a trained
+    tree and raw a fresh init, so the tool must score EMA strictly
+    better on the distribution metric)."""
+    import os
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from benchmarks.image_quality import channel_wasserstein, sample_grid
+    from probgan_tpu.cli.train_image import synthetic_images
+
+    data = synthetic_images(32, 16, seed=0)
+    # Metric sanity on a sample big enough for the halves' pixel marginals
+    # to converge (each image draws its own base color/gradient, so 16-image
+    # halves differ by ~30 uint8 W1 units — a fixture artifact, not a metric
+    # failure): dataset-half-vs-half beats both uniform noise and a
+    # collapsed (constant-output) generator, the documented failure mode.
+    big = synthetic_images(512, 16, seed=0)
+    half_d = channel_wasserstein(big[:256], big[256:])
+    noise = np.random.RandomState(1).randint(0, 256, big.shape, np.uint8)
+    assert half_d < channel_wasserstein(noise, big)
+    assert 5 * half_d < channel_wasserstein(np.full_like(big, 128), big)
+
+    grid_path = sample_grid(data[:4], str(tmp_path / "grid"), cols=2)
+    assert (tmp_path / "grid.npy").exists()
+    grid = np.load(tmp_path / "grid.npy")
+    assert grid.shape == (32, 32, 3)
+    assert grid_path.endswith((".png", ".npy"))
+
+    # checkpoint where the EMA tree mimics the data mean and raw is a fresh
+    # init: the tool must score EMA better on w1_color.
+    import jax
+
+    from probgan_tpu.engine import train as train_engine
+
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=5e-3)
+    stage = cfg.num_stages - 1
+    real = jnp.asarray(data.astype(np.float32) / 127.5 - 1.0)
+    for step in range(30):
+        z = jax.random.normal(jax.random.fold_in(jax.random.key(9), step),
+                              (16, cfg.latent_dim))
+        state, _ = train_engine.progan_train_step(
+            state, real[:16], z, jnp.float32(1.0), cfg, stage, 5e-3,
+            ema_beta=0.0,
+        )
+    path = str(tmp_path / "q_ckpt.msgpack")
+    fresh = pro_gan.init_generator(jax.random.key(99), cfg)
+    save_image_checkpoint(
+        path, cfg,
+        jax.tree.map(np.asarray, fresh),                  # raw = fresh init
+        d_params=jax.tree.map(np.asarray, state.d_params),
+        g_ema=jax.tree.map(np.asarray, state.g_params),   # ema = trained
+    )
+    # Drop the TPU-plugin env so the subprocess stays a CPU process (the
+    # session sitecustomize would otherwise re-pin the axon TPU platform and
+    # contend for the single device grant).
+    env = {k: v for k, v in os.environ.items() if "AXON" not in k}
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "tools/eval_image_quality.py", "--checkpoint", path,
+         "--synthetic", "32", "--resolution", "16", "--num_samples", "16",
+         "--batch", "16",
+         "--out_prefix", str(tmp_path / "qa")],
+        capture_output=True, text=True, cwd=os.getcwd(), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ema"]["w1_color"] < result["raw"]["w1_color"], result
+    assert "d_logit_gap" in result["ema"]
+    assert os.path.exists(str(tmp_path / "qa_ema.npy"))
