@@ -152,19 +152,20 @@ def main() -> None:
     # each call pays the ~34 ms RPC floor, which real-hardware serving would
     # not (VERDICT r1 weak #7: never conflate the two).
     @jax.jit
-    def one_call(g_params, h, r, z, table_norm, table_bf16):
+    def one_call(g_params, h, r, z, table_norm):
+        # Production path: the fp32 fused kernel (the bf16 stream measured
+        # SLOWER on this hardware and is opt-in — see the engine).
         pred = kg_gan.generator_apply(g_params, h, r, z)
-        v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas,
-                          table_bf16)
+        v, i = _rank_topk(pred, table_norm, args.top_k, n, use_pallas)
         return jnp.sum(i) + jnp.sum(v).astype(jnp.int32)
 
-    float(one_call(g_params, h, r, z, table_norm, table_bf16))  # compile
-    float(one_call(g_params, h, r, z, table_norm, table_bf16))  # warmup
+    float(one_call(g_params, h, r, z, table_norm))  # compile
+    float(one_call(g_params, h, r, z, table_norm))  # warmup
     lat = []
     t_end = time.perf_counter() + min(args.seconds, 3.0)
     while time.perf_counter() < t_end:
         t1 = time.perf_counter()
-        float(one_call(g_params, h, r, z, table_norm, table_bf16))
+        float(one_call(g_params, h, r, z, table_norm))
         lat.append(time.perf_counter() - t1)
     print(json.dumps({
         "metric": f"predict_tails_serving_latency_N{n}",

@@ -329,15 +329,19 @@ class InferenceEngine:
         # bf16 copy for the streamed rank kernel (half the HBM bytes of the
         # dominant table scan; results re-scored exactly in fp32 —
         # ops/pallas_rank.rank_topk_fused). Cast once at load, cached like
-        # the normalization. Gated on table size: below BF16_MIN_N the
-        # segmented extraction's displacement probability is non-negligible
-        # (and the full table read is cheap anyway). Escape hatch:
-        # PROBGAN_BF16_RANK=0.
+        # the normalization. OPT-IN (PROBGAN_BF16_RANK=1): measured on
+        # TPU v5e at N=1M the bf16 stream runs ~3x SLOWER than the fp32
+        # 6-pass kernel — the single-pass bf16 dot sits at ~80 GB/s
+        # effective regardless of tile size, extraction scheme, or operand
+        # orientation (benchmarks/RESULTS.md round 3) — so the fp32 kernel
+        # stays the production path. Also gated on table size: below
+        # BF16_MIN_N the class extraction's displacement probability is
+        # non-negligible (and the full table read is cheap anyway).
         self.entity_norm_bf16 = None
         if (
             self._use_pallas
             and self.num_entities >= pallas_rank.BF16_MIN_N
-            and os.environ.get("PROBGAN_BF16_RANK", "1") != "0"
+            and os.environ.get("PROBGAN_BF16_RANK", "0") == "1"
         ):
             self.entity_norm_bf16 = jax.jit(
                 lambda t: t.astype(jnp.bfloat16)

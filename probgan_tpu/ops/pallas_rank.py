@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -114,45 +115,57 @@ def _rank_topk_kernel(nvalid_ref, pred_ref, table_ref, val_ref, idx_ref, *,
     idx_ref[0] = jnp.concatenate(idxs, axis=1)
 
 
-# Segment geometry for the bf16-streamed kernel's candidate extraction.
-# Capacity 4: a true top-k member is lost only when 4+ higher-approx-scoring
-# entities share its 128-lane segment — at the _BF16_MIN_N gate (see the
-# engine) that is a < 1e-5 coincidence; at the small N of unit tests it
-# would be common, which is why the engine gates and the tests use planted
-# structure.
-_SEG = 128                      # lanes per segment
-_SEG_TOP = 4                    # candidates kept per segment
-_NSEG = 2048 // _SEG            # segments per tile (TILE_N / SEG)
-_BF16_CANDS = _NSEG * _SEG_TOP  # candidates emitted per tile (64)
+# Candidate geometry for the bf16-streamed kernel's extraction. Each tile's
+# 2048 lanes split into 128 STRIDE CLASSES (class c = lanes {c, 128+c, ...,
+# 1920+c}, i.e. lane mod 128 — the groups native to elementwise max over the
+# 16 aligned 128-lane slices, NO relayout); each class keeps its top
+# _CLASS_CAP by approximate score. A first segmented design (contiguous
+# 128-lane segments via a (B, 16, 128) reshape + max/argmin loops) measured
+# 6.4k q/s at N=1M — 3.5x SLOWER than the fp32 kernel — because the
+# lane-split reshape forces a full relayout of every score tile in Mosaic;
+# this formulation is pure aligned-slice elementwise ops.
+_CLASSES = 128                   # stride classes per tile (one per lane slot)
+_CLASS_CAP = 2                   # candidates kept per class
+_BF16_CANDS = _CLASSES * _CLASS_CAP  # candidates emitted per tile (256)
 
-# Engine-side gate: only stream bf16 for tables where segment-collision
+# Sortable-int packing: scores (cosines, in [-1-eps, 1+eps] even under bf16
+# rounding) shift by +8.0 into positive-float territory where the IEEE bit
+# pattern is MONOTONE as an int32; the low 11 bits are replaced by the lane
+# id, so one integer both ranks candidates and remembers where they came
+# from, and extraction needs no argmin/index passes at all. Masked lanes
+# pack to just their lane id (score bits 0), below _BF16_VALID_MIN.
+_BF16_SHIFT = 8.0
+_BF16_LANE_BITS = 11             # 2^11 = 2048 = _TILE_N
+_BF16_VALID_MIN = int(np.float32(4.0).view(np.int32))  # < bitcast(-1+8)
+
+# Engine-side gate: only stream bf16 for tables where class-collision
 # displacement is negligible (and where the table read is worth halving).
 BF16_MIN_N = 200_000
 
 
-def _rank_topk_bf16_kernel(nvalid_ref, pred_ref, table_ref, val_ref, idx_ref,
-                           *, tile_n, normalize):
+def _rank_topk_bf16_kernel(nvalid_ref, pred_ref, table_ref, out_ref, *,
+                           tile_n, normalize):
     """bf16-streamed variant of _rank_topk_kernel: the table tile arrives as
     bfloat16 (HALF the HBM bytes of the dominant stream) and the dot is one
     bf16 MXU pass instead of fp32-emulation's six.
 
-    Candidate extraction is SEGMENTED, not exact: the tile splits into 16
-    segments of 128 lanes and each segment emits its top-_SEG_TOP by
-    approximate score — ~4*_SEG_TOP full-width vector passes total
-    independent of k, vs ~4*k for the exact max/argmin/mask loop (which
-    measured as the whole path's bottleneck: round-3 benchmarks, the
-    exact-extraction bf16 kernel was SLOWER than the fp32 6-pass kernel).
-    Sloppiness is safe because the caller re-scores the merged pool against
-    the fp32 table: a true top-k member is lost only if >= _SEG_TOP
-    entities with higher approximate score land in its own 128-lane segment
-    — a < 1e-5 coincidence above the BF16_MIN_N gate (and exact DUPLICATES
-    are kept in index order, so tie-heavy tables still resolve like
-    lax.top_k).
+    Candidate extraction is APPROXIMATE, not exact: scores pack into
+    sortable int32s carrying their lane id (see _BF16_SHIFT above), and each
+    of the 128 stride classes keeps its top-_CLASS_CAP via elementwise max
+    over the tile's 16 aligned 128-lane slices — ~8 full-width vector
+    passes total, independent of k, vs ~4k for the exact max/argmin/mask
+    loop (which measured as the fp32 path's bottleneck). Sloppiness is safe
+    because the caller re-scores the merged pool against the fp32 table: a
+    true top-k member is lost only if > _CLASS_CAP entities with higher
+    approximate score land in its OWN 16-lane stride class of its own tile
+    — vanishingly unlikely above the BF16_MIN_N gate (the unit tests plant
+    structure instead of relying on that bound).
 
     ``nvalid_ref`` is a traced (scalar-prefetch) valid-row count: rows at
-    index >= nvalid are masked to -inf (zero-padded table rows would
-    otherwise score exactly 0). Traced (not static) so the tensor-parallel
-    path can pass a per-shard count computed from the shard index."""
+    index >= nvalid pack below _BF16_VALID_MIN (zero-padded table rows
+    would otherwise score exactly 0). Traced (not static) so the
+    tensor-parallel path can pass a per-shard count computed from the
+    shard index."""
     j = pl.program_id(0)
     p = pred_ref[:]  # [B, D] fp32
     if normalize:
@@ -168,34 +181,28 @@ def _rank_topk_bf16_kernel(nvalid_ref, pred_ref, table_ref, val_ref, idx_ref,
     )  # [B, TILE_N] fp32 accumulation of one bf16 pass
     b = s.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    s = jnp.where(lane < nvalid_ref[0] - j * tile_n, s, -jnp.inf)
-    nseg = tile_n // _SEG
-    seg = s.reshape(b, nseg, _SEG)
-    lane3 = jax.lax.broadcasted_iota(jnp.int32, (b, nseg, _SEG), 2)
-    base = (
-        jax.lax.broadcasted_iota(jnp.int32, (b, nseg), 1) * _SEG + j * tile_n
-    )
-    ms, ids = [], []
-    for _ in range(_SEG_TOP):
-        m = jnp.max(seg, axis=2)  # [B, nseg]
-        a = jnp.min(jnp.where(seg == m[..., None], lane3, _SEG), axis=2)
-        ms.append(m)
-        ids.append(base + a)
-        seg = jnp.where(lane3 == a[..., None], -jnp.inf, seg)
-    # Candidates are laid out rank-major ([all segs' top-1 | all top-2 |
-    # ...]) — a plain lane concat; the seg-major interleave is a
-    # (B, nseg, cap) -> (B, nc) minor-dim reshape Mosaic cannot lower. The
-    # merge therefore does NOT see ascending-id order for equal values; the
-    # fp32 rescore + lexsort fixes ordering for everything that reaches the
-    # pool (only a boundary value duplicated more often than the whole
-    # rescore pool could retain the wrong ids — see rank_topk_fused).
-    nc = nseg * _SEG_TOP
-    val_ref[0] = jnp.concatenate(
-        ms + [jnp.full((b, 128 - nc), -jnp.inf, jnp.float32)], axis=1
-    )
-    idx_ref[0] = jnp.concatenate(
-        ids + [jnp.zeros((b, 128 - nc), jnp.int32)], axis=1
-    )
+    valid = lane < nvalid_ref[0] - j * tile_n
+    sp = jnp.where(valid, s + _BF16_SHIFT, 0.0)
+    t = jax.lax.bitcast_convert_type(sp, jnp.int32)
+    lane_mask = jnp.int32((1 << _BF16_LANE_BITS) - 1)
+    packed = (t & ~lane_mask) | lane  # [B, TILE_N] int32, score-major
+    # Per-class top-_CLASS_CAP: elementwise max over the 16 aligned slices
+    # (plain lane-offset views — tile-aligned, no relayout), then mask the
+    # winners (exact identity compare: lane bits make every packed value
+    # unique) and reduce again.
+    nsl = tile_n // _CLASSES
+    picks = []
+    for _ in range(_CLASS_CAP):
+        best = packed[:, 0:_CLASSES]
+        for i in range(1, nsl):
+            best = jnp.maximum(best, packed[:, i * _CLASSES:(i + 1) * _CLASSES])
+        picks.append(best)
+        keep = []
+        for i in range(nsl):
+            sl = packed[:, i * _CLASSES:(i + 1) * _CLASSES]
+            keep.append(jnp.where(sl == best, jnp.int32(0), sl))
+        packed = jnp.concatenate(keep, axis=1)
+    out_ref[0] = jnp.concatenate(picks, axis=1)  # [B, _BF16_CANDS]
 
 
 @functools.partial(
@@ -218,23 +225,18 @@ def _rank_topk_bf16_pallas(pred, table_bf16, nvalid, interpret=False,
             pl.BlockSpec((_TILE_N, d), lambda j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 128), lambda j, *_: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, b, _BF16_CANDS), lambda j, *_: (j, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((nt, b, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nt, b, 128), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((nt, b, _BF16_CANDS), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
-            bytes_accessed=4 * b * d + 2 * n * d + 8 * b * nt * _BF16_CANDS,
+            bytes_accessed=4 * b * d + 2 * n * d + 4 * b * nt * _BF16_CANDS,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -242,9 +244,9 @@ def _rank_topk_bf16_pallas(pred, table_bf16, nvalid, interpret=False,
 
 
 # Merge-pool margin for the bf16-streamed path. Correctness condition: every
-# true top-k entity must survive (a) its segment's top-2 approximate
-# extraction (see _rank_topk_bf16_kernel) and (b) the approximate merge to
-# the rescore pool of k + _BF16_RESCORE_POOL. An entity can only be
+# true top-k entity must survive (a) its stride class's top-_CLASS_CAP
+# approximate extraction (see _rank_topk_bf16_kernel) and (b) the
+# approximate merge to the rescore pool of k + _BF16_RESCORE_POOL. An entity can only be
 # displaced by competitors whose TRUE score is within 2*eps of its own
 # (eps ~ 2^-8 cosine units, one bf16 rounding per operand), so the margin
 # bounds how many near-boundary competitors are tolerated — ample for
@@ -326,17 +328,17 @@ def rank_topk_fused(
 
     ``table_bf16``: a cached bfloat16 copy of ``table_norm`` (the engine
     builds it once at load). When given, the kernel streams the bf16 table
-    — HALF the HBM bytes and one MXU pass instead of six — extracting
-    top-2-per-128-lane-segment approximate candidates per tile (~6 vector
-    passes, vs the exact loop's ~4k); the merged pool's best
-    _BF16_RESCORE_POOL + k candidates are then re-scored exactly against
-    the fp32 table, so returned (values, ids) match the fp32 kernel's (see
-    the margin comments above for the guarantee's bound). Value note: the
-    rescored dot can differ from the dense matmul's score by ~1 ulp
-    (different reduction order), so two DISTINCT entities whose exact
-    scores are within 1 ulp of each other may order differently than
-    lax.top_k — exact duplicates still resolve identically (lexsort on
-    ids)."""
+    — HALF the HBM bytes and one MXU pass instead of six — emitting
+    top-_CLASS_CAP-per-stride-class approximate candidates per tile as
+    sortable lane-tagged int32s (see _rank_topk_bf16_kernel); the merged
+    pool's best _BF16_RESCORE_POOL + k candidates are then re-scored
+    exactly against the fp32 table, so returned (values, ids) match the
+    fp32 kernel's (see the margin comments above for the guarantee's
+    bound). Value note: the rescored dot can differ from the dense
+    matmul's score by ~1 ulp (different reduction order), so two DISTINCT
+    entities whose exact scores are within 1 ulp of each other may order
+    differently than lax.top_k — exact duplicates still resolve
+    identically (lexsort on ids)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b = pred.shape[0]
@@ -347,20 +349,19 @@ def rank_topk_fused(
         return jax.lax.top_k(scores, k)
     if table_bf16 is not None:
         nc = _BF16_CANDS
-        cand_v, cand_i = _rank_topk_bf16_pallas(
+        cand = _rank_topk_bf16_pallas(
             pred, table_bf16, num_entities, interpret=interpret
-        )
-        nt = cand_v.shape[0]
-        cv = jnp.transpose(cand_v[:, :, :nc], (1, 0, 2)).reshape(b, nt * nc)
-        ci = jnp.transpose(cand_i[:, :, :nc], (1, 0, 2)).reshape(b, nt * nc)
-        # Approximate merge: shrink the pool to the rescore size. For equal
-        # approximate values the flattened candidate order IS ascending
-        # global id (tiles ascending, asc-index within a tile's ties), and
-        # lax.top_k keeps the lowest position among ties — so boundary ties
-        # keep the lowest ids, matching the exact path's tie-break.
+        )  # [nt, B, nc] packed sortable int32
+        nt = cand.shape[0]
+        cp = jnp.transpose(cand, (1, 0, 2)).reshape(b, nt * nc)
+        # Approximate merge DIRECTLY on the packed ints (monotone in score):
+        # shrink the pool to the rescore size; ordering of near-ties here
+        # only decides pool membership — the fp32 rescore + lexsort below
+        # decides the final ranking and tie-break.
         m = min(k + _BF16_RESCORE_POOL, nt * nc)
-        av, pos = jax.lax.top_k(cv, m)
-        ids = jnp.take_along_axis(ci, pos, axis=1)  # [B, m]
+        pv, pos = jax.lax.top_k(cp, m)
+        lane_mask = jnp.int32((1 << _BF16_LANE_BITS) - 1)
+        ids = (pos // nc) * _TILE_N + (pv & lane_mask)  # [B, m] global ids
         # Exact re-score of the pool against the fp32 table (tiny gather:
         # m rows per query vs the N-row stream the kernel just avoided).
         pn = rank_ops.l2_normalize(pred)
@@ -370,10 +371,10 @@ def rank_topk_fused(
             dimension_numbers=(((1,), (2,)), ((0,), (0,))),
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, m]
-        # An exhausted/masked tile emits filler candidates (approx -inf with
-        # an arbitrary in-range id) — they must stay -inf through the
-        # rescore or a duplicate id could resurface with its true score.
-        exact = jnp.where(av == -jnp.inf, -jnp.inf, exact)
+        # Masked lanes pack to bare lane ids (score bits zeroed) — they must
+        # stay -inf through the rescore or a duplicate id could resurface
+        # with its true score.
+        exact = jnp.where(pv < _BF16_VALID_MIN, -jnp.inf, exact)
         order = jnp.lexsort((ids, -exact), axis=1)[:, :k]
         return (
             jnp.take_along_axis(exact, order, axis=1),
