@@ -236,34 +236,46 @@ def main() -> None:
             args.seconds,
             2,
         )
-        with jax.default_device(jax.devices("cpu")[0]):
-            state = train_engine.progan_init_state(jax.random.key(SEED + 2), cfg)
-        state = jax.device_put(state, jax.devices()[0])
-        t0 = time.perf_counter()
-        state, metrics = train_engine.progan_train_step(
-            state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3, dtype,
-            packed_fake=use_pallas_packed,
-        )
-        float(metrics["d_loss"])  # hard sync
-        train_s = time.perf_counter() - t0
-        # steady-state step cost (the number that matters for a training
-        # run; the first call above is compile-dominated)
-        steady = []
-        for _ in range(3):
-            t1 = time.perf_counter()
+        def time_train(step_dtype):
+            """(first-call s, steady min s, final d_loss) at step_dtype."""
+            with jax.default_device(jax.devices("cpu")[0]):
+                state = train_engine.progan_init_state(
+                    jax.random.key(SEED + 2), cfg
+                )
+            state = jax.device_put(state, jax.devices()[0])
+            t0 = time.perf_counter()
             state, metrics = train_engine.progan_train_step(
-                state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3, dtype,
-                packed_fake=use_pallas_packed,
+                state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
+                step_dtype, packed_fake=use_pallas_packed,
             )
-            float(metrics["d_loss"])
-            steady.append(time.perf_counter() - t1)
+            float(metrics["d_loss"])  # hard sync
+            first_s = time.perf_counter() - t0
+            # steady-state step cost (the number that matters for a
+            # training run; the first call above is compile-dominated)
+            steady = []
+            for _ in range(5):
+                t1 = time.perf_counter()
+                state, metrics = train_engine.progan_train_step(
+                    state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
+                    step_dtype, packed_fake=use_pallas_packed,
+                )
+                float(metrics["d_loss"])
+                steady.append(time.perf_counter() - t1)
+            return first_s, min(steady), float(metrics["d_loss"])
+
+        train_s, steady_s, d_loss = time_train(dtype)
+        # The mixed-precision step (--bf16 in the trainer): bf16 convs on
+        # the MXU, fp32 params/loss/EMA. Measured alongside fp32 so the
+        # speedup is one run's apples-to-apples.
+        _, steady_bf16_s, _ = time_train(jnp.bfloat16)
         emit({
             "config": 5, "name": "1024x1024_full_stack",
             "value": round(gen_ips, 3), "unit": "images/sec",
             "disc_scores_per_sec": round(score_ips, 3),
             "train_step_first_call_s": round(train_s, 2),
-            "train_step_steady_s": round(min(steady), 3),
-            "d_loss": round(float(metrics["d_loss"]), 4),
+            "train_step_steady_s": round(steady_s, 3),
+            "train_step_steady_bf16_s": round(steady_bf16_s, 3),
+            "d_loss": round(d_loss, 4),
         })
 
     log(f"done: {len(results)} configs")

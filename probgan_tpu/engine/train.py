@@ -74,7 +74,7 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
 @partial(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
-                     "packed_fake"),
+                     "packed_fake", "remat"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -87,6 +87,7 @@ def progan_train_step(
     dtype=jnp.float32,
     ema_beta: float = 0.999,
     packed_fake: bool = False,
+    remat: bool = True,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -96,7 +97,15 @@ def progan_train_step(
     inference kernels. Legal despite the kernels defining no VJP: that
     forward sits behind stop_gradient and is constant w.r.t. d_params, so
     no tangents ever flow through it; the differentiated G forward in the
-    G step always uses the XLA path."""
+    G step always uses the XLA path.
+
+    ``remat``: checkpoint each stage block under the conv-saved policy
+    (models/pro_gan._REMAT_POLICY). Rematerialization never changes
+    numerics — only the memory/recompute trade. Measured at 1024² b2 bf16
+    the policy remat is as fast as no remat at all (0.410 vs 0.414 s — the
+    rematerialized elementwise chains are bandwidth-cheap and overlap) while
+    bounding the tape, so True is the right default at every size; False
+    exists for experiments."""
     opt = progan_optimizer(lr)
 
     def d_loss_fn(d_params):
@@ -109,11 +118,11 @@ def progan_train_step(
         # the loss scale driving the gradients) stays fp32 — the standard
         # mixed-precision recipe. No-op for fp32 training.
         real_logits = pro_gan.discriminator_apply(
-            d_params, real_images, config, stage, alpha, dtype, remat=True
+            d_params, real_images, config, stage, alpha, dtype, remat=remat
         ).astype(jnp.float32)
         fake_logits = pro_gan.discriminator_apply(
             d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
-            remat=True,
+            remat=remat,
         ).astype(jnp.float32)
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
@@ -126,10 +135,10 @@ def progan_train_step(
 
     def g_loss_fn(g_params):
         fake = pro_gan.generator_rgb(
-            g_params, z, config, stage, alpha, dtype, remat=True
+            g_params, z, config, stage, alpha, dtype, remat=remat
         )
         fake_logits = pro_gan.discriminator_apply(
-            d_params, fake, config, stage, alpha, dtype, remat=True
+            d_params, fake, config, stage, alpha, dtype, remat=remat
         ).astype(jnp.float32)
         return jnp.mean(_softplus(-fake_logits))
 

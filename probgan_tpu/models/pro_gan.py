@@ -31,9 +31,20 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 LRELU_SLOPE = 0.2
 _PIXELNORM_EPS = 1e-8
+
+# Rematerialization policy for the training-step backward pass. Full-block
+# jax.checkpoint re-runs every conv in the backward — the expensive part.
+# Instead the conv outputs are tagged (checkpoint_name below) and SAVED;
+# only the elementwise chains between convs (upsample, lrelu, pixel_norm,
+# avg-pool) rematerialize — bandwidth-cheap and FLOP-free. Numerically
+# identical to full remat / no remat (recompute is deterministic); memory
+# sits between them (2 saved tensors per block vs 1 vs ~6): ~2 GB of
+# residuals for the 1024² b2 step vs >16 GB un-remat'ed at fp32.
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("conv_out")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -214,11 +225,15 @@ def _g_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
             (w * scale), block["conv1"]["b"], x,
             precision=resolve_precision(precision),
         )
-        x = pixel_norm(lrelu(x))
+        x = pixel_norm(lrelu(checkpoint_name(x, "conv_out")))
     else:
         x = upsample_nearest_2x(x)
-        x = pixel_norm(lrelu(eq_conv(block["conv1"], x, precision=precision)))
-    x = pixel_norm(lrelu(eq_conv(block["conv2"], x, precision=precision)))
+        x = pixel_norm(lrelu(checkpoint_name(
+            eq_conv(block["conv1"], x, precision=precision), "conv_out"
+        )))
+    x = pixel_norm(lrelu(checkpoint_name(
+        eq_conv(block["conv2"], x, precision=precision), "conv_out"
+    )))
     return x
 
 
@@ -228,13 +243,17 @@ def generator_features(
 ) -> tuple[jax.Array, jax.Array | None]:
     """Run the trunk to ``stage``; returns (x_stage, x_prev_or_None).
 
-    ``remat=True`` checkpoints each stage block: the backward pass
-    rematerializes a block's intermediates instead of holding every stage's
-    activations live — required to fit the 1024² G/D train step in one
-    chip's HBM (the un-remat'ed backward exceeds 16 GB at batch 2 fp32)."""
+    ``remat=True`` checkpoints each stage block under _REMAT_POLICY: conv
+    outputs stay saved, the elementwise chains between them rematerialize —
+    required to fit the 1024² G/D train step in one chip's HBM (the
+    un-remat'ed backward exceeds 16 GB at batch 2 fp32) without re-running
+    any conv in the backward (full-block remat measured 12% slower on the
+    bf16 1024² b2 step; benchmarks/RESULTS.md round 3)."""
     block_fn = _g_block
     if remat:
-        block_fn = jax.checkpoint(_g_block, static_argnums=(2,))
+        block_fn = jax.checkpoint(
+            _g_block, static_argnums=(2,), policy=_REMAT_POLICY
+        )
     x = _g_base(params, z, config, dtype, precision)
     prev = None
     for s in range(1, stage + 1):
@@ -498,8 +517,12 @@ def minibatch_stddev(
 
 
 def _d_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
-    x = lrelu(eq_conv(block["conv1"], x, precision=precision))
-    x = lrelu(eq_conv(block["conv2"], x, precision=precision))
+    x = lrelu(checkpoint_name(
+        eq_conv(block["conv1"], x, precision=precision), "conv_out"
+    ))
+    x = lrelu(checkpoint_name(
+        eq_conv(block["conv2"], x, precision=precision), "conv_out"
+    ))
     return downsample_avg_2x(x)
 
 
@@ -614,7 +637,9 @@ def discriminator_apply(
     image = image.astype(dtype)
     block_fn = _d_block
     if remat:
-        block_fn = jax.checkpoint(_d_block, static_argnums=(2,))
+        block_fn = jax.checkpoint(
+            _d_block, static_argnums=(2,), policy=_REMAT_POLICY
+        )
     n = 0
     if packed and dtype == jnp.float32:
         n = packed_d_stage_count(config, stage, precision)
