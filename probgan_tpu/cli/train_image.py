@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the MXU (params, EMA, optimizer state and loss "
                         "math stay fp32) — measured ~25%% faster per 1024² "
                         "step with gradient parity (tests/test_train.py)")
+    parser.add_argument("--packed_d", action="store_true",
+                        help="Run the lane-wasteful leading D stages on the "
+                        "phase-blocked Pallas kernels for forward AND "
+                        "backward (custom VJPs, ops/packed_vjp.py); only "
+                        "engages at stages >= 256² with nf <= 64")
     return parser
 
 
@@ -210,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
                     dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                     ema_beta=args.ema_beta,
                     packed_fake=packed_fake,
+                    packed_d=args.packed_d,
                 )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]

@@ -74,7 +74,7 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
 @partial(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
-                     "packed_fake", "remat"),
+                     "packed_fake", "remat", "packed_d"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -88,6 +88,7 @@ def progan_train_step(
     ema_beta: float = 0.999,
     packed_fake: bool = False,
     remat: bool = True,
+    packed_d: bool = False,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -105,8 +106,16 @@ def progan_train_step(
     the policy remat is as fast as no remat at all (0.410 vs 0.414 s — the
     rematerialized elementwise chains are bandwidth-cheap and overlap) while
     bounding the tape, so True is the right default at every size; False
-    exists for experiments."""
+    exists for experiments.
+
+    ``packed_d``: run the lane-wasteful leading D stages (nf <= 64) on the
+    phase-blocked Pallas kernels for forward AND backward (custom VJPs in
+    ops/packed_vjp.py). Kernel grade is "default" (1-pass bf16 dots) —
+    the same MXU grade the XLA training path uses for both fp32
+    (Precision.DEFAULT) and bf16 dtypes, so the loss math class is
+    unchanged; only the layout (and the lane/HBM waste) differs."""
     opt = progan_optimizer(lr)
+    _d_train_mode = "default"
 
     def d_loss_fn(d_params):
         fake = pro_gan.generator_rgb(
@@ -118,11 +127,13 @@ def progan_train_step(
         # the loss scale driving the gradients) stays fp32 — the standard
         # mixed-precision recipe. No-op for fp32 training.
         real_logits = pro_gan.discriminator_apply(
-            d_params, real_images, config, stage, alpha, dtype, remat=remat
+            d_params, real_images, config, stage, alpha, dtype, remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
         ).astype(jnp.float32)
         fake_logits = pro_gan.discriminator_apply(
             d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
             remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
         ).astype(jnp.float32)
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
@@ -138,7 +149,8 @@ def progan_train_step(
             g_params, z, config, stage, alpha, dtype, remat=remat
         )
         fake_logits = pro_gan.discriminator_apply(
-            d_params, fake, config, stage, alpha, dtype, remat=remat
+            d_params, fake, config, stage, alpha, dtype, remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
         ).astype(jnp.float32)
         return jnp.mean(_softplus(-fake_logits))
 

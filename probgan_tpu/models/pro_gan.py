@@ -574,15 +574,21 @@ def _d_early_packed(
     alpha,
     precision,
     n: int,
+    mode: str | None = None,
 ) -> jax.Array:
     """Run fromRGB + the first ``n`` discriminator blocks with the
     phase-blocked Pallas kernels (conv epilogue "lrelu", pool fused into
     conv2); returns NHWC features at stage ``stage - n``. The phase count
     enters at P = 2^n and HALVES at each pool (column pooling is a
-    phase-block pair average), exiting at P = 1. Inference-only (no VJP)."""
-    from probgan_tpu.ops import pallas_packed as pk
+    phase-block pair average), exiting at P = 1. Differentiable: the
+    kernels are wrapped in custom VJPs (ops/packed_vjp.py) whose backward
+    runs the same packed layout, so this path serves scoring AND the
+    training step's D forward/backward. ``mode`` overrides the
+    precision-ladder mapping (the train step picks its dtype's grade)."""
+    from probgan_tpu.ops import packed_vjp, pallas_packed as pk
 
-    mode = _PACKED_MODES_D[precision]
+    if mode is None:
+        mode = _PACKED_MODES_D[precision]
     p = 2 ** n
 
     def conv_w(pr):
@@ -593,12 +599,11 @@ def _d_early_packed(
     xp = pk.nhwc_to_phase_blocked(x.astype(jnp.float32), p)
     for s in range(stage, stage - n, -1):
         block = params["blocks"][s - 1]
-        xp = pk.packed_conv(
-            xp, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode,
-            epilogue="lrelu",
+        xp = packed_vjp.conv_lrelu(
+            xp, conv_w(block["conv1"]), block["conv1"]["b"], p, mode
         )
-        xp = pk.packed_convpool(
-            xp, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode
+        xp = packed_vjp.convpool_lrelu(
+            xp, conv_w(block["conv2"]), block["conv2"]["b"], p, mode
         )
         p //= 2
         if s == stage and stage > 0:
@@ -626,14 +631,17 @@ def discriminator_apply(
     remat: bool = False,
     packed: bool = False,
     stddev_axis: str | None = None,
+    packed_mode: str | None = None,
 ) -> jax.Array:
     """Image [B, R, R, 3] (float, pre-tanh scale i.e. roughly [-1, 1]) ->
     realness logit [B]. Mirrors the generator's progressive blend: after the
     first down block, lerp with fromRGB of the downsampled image.
     ``remat``: see generator_features. ``packed=True`` routes the leading
     lane-wasteful stages (packed_d_stage_count) through the phase-blocked
-    Pallas kernels — inference/scoring only (no VJP); training and non-fp32
-    dtypes use the XLA path regardless."""
+    Pallas kernels — differentiable via ops/packed_vjp.py, so the training
+    step uses this path too. For scoring the kernel grade follows the
+    ``precision`` ladder (fp32 inputs only); ``packed_mode`` overrides it
+    directly (any dtype — the train step passes its dtype's grade)."""
     image = image.astype(dtype)
     block_fn = _d_block
     if remat:
@@ -641,10 +649,15 @@ def discriminator_apply(
             _d_block, static_argnums=(2,), policy=_REMAT_POLICY
         )
     n = 0
-    if packed and dtype == jnp.float32:
+    if packed and packed_mode is not None:
+        # Structure-only gate ("highest" is always ladder-mapped): which
+        # stages are packable is a shape property, not a precision one.
+        n = packed_d_stage_count(config, stage, "highest")
+    elif packed and dtype == jnp.float32:
         n = packed_d_stage_count(config, stage, precision)
     if n > 0:
-        x = _d_early_packed(params, image, config, stage, alpha, precision, n)
+        x = _d_early_packed(params, image, config, stage, alpha, precision, n,
+                            mode=packed_mode)
     else:
         x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
     for s in range(stage - n, 0, -1):

@@ -162,12 +162,16 @@ def _act_norm(acc: jax.Array) -> jax.Array:
 
 
 def _epilogue_fn(epilogue: str):
-    """Post-conv activation: "lrelu_norm" (generator blocks) or "lrelu"
-    (discriminator blocks — ProGAN's D has no PixelNorm)."""
+    """Post-conv activation: "lrelu_norm" (generator blocks), "lrelu"
+    (discriminator blocks — ProGAN's D has no PixelNorm), or "none"
+    (pre-activation output — the VJP path's input-gradient and
+    recompute convs, ops/packed_vjp.py)."""
     if epilogue == "lrelu_norm":
         return _act_norm
     if epilogue == "lrelu":
         return _lrelu
+    if epilogue == "none":
+        return lambda acc: acc
     raise ValueError(f"unknown epilogue {epilogue!r}")
 
 
@@ -515,6 +519,108 @@ def packed_convpool(
         ),
         interpret=interpret,
     )(x, wk_host, b.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
+# conv3x3 weight gradient (training backward; ops/packed_vjp.py)
+# ---------------------------------------------------------------------------
+
+def packed_conv_wgrad(
+    x: jax.Array,     # [B, C, H, P*Wp] phase-blocked fp32 (the conv's input)
+    dpre: jax.Array,  # [B, Cout, H, P*Wp] cotangent of the PRE-bias output
+    p: int,
+    *,
+    mode: str = "default",
+    rows_per_step: int = 8,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """d/dw of ``packed_conv``'s pre-bias output: the correlation of the
+    input with the output cotangent, streamed in the phase-blocked layout.
+
+    Per output row the same tap-stacked ``[9C, W]`` operand the forward
+    builds (taps = static lane slices, halo rows from the revolver) meets
+    the cotangent row ``[Cout, W]`` in ONE lane-contracting MXU pass, and
+    the tiny ``[9C, Cout]`` accumulator lives in VMEM scratch across the
+    whole sequential (batch, row-panel) grid — x and dpre are each read
+    exactly once and nothing else touches HBM until the single accumulator
+    write-out at the last step. Returns dw ``[3, 3, C, Cout]`` fp32 w.r.t.
+    the (eq-LR scaled) weight operand the forward consumed; the bias
+    gradient is a plain XLA reduction of ``dpre`` (no kernel needed)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bsz, cin, h, wtot = x.shape
+    cout = dpre.shape[1]
+    wp = wtot // p
+    r = rows_per_step
+    _check_row_panels(h, r, "packed_conv_wgrad")
+    precision = (
+        jax.lax.Precision.HIGHEST if mode == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def kern(x_hbm, g_ref, out_ref, buf, sems, acc_ref):
+        bq = pl.program_id(0)
+        j = pl.program_id(1)
+        npanels = pl.num_programs(1)
+        get_row = _revolver(x_hbm, buf, sems, bq, j, npanels, r)
+
+        @pl.when(jnp.logical_and(bq == 0, j == 0))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def row_body(t, _):
+            g = j * r + t
+            rows3 = jnp.concatenate(
+                [get_row(g - 1), get_row(g), get_row(g + 1)], axis=0
+            )  # [3C, W]
+            left = _shift_phase_minus(rows3, wp, interpret)
+            right = _shift_phase_plus(rows3, wp, interpret)
+            x_all = jnp.concatenate([left, rows3, right], axis=0)  # [9C, W]
+            gr = g_ref[0, :, t, :]  # [Cout, W]
+            acc_ref[:] += jax.lax.dot_general(
+                x_all, gr,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, r, row_body, 0)
+
+        @pl.when(
+            jnp.logical_and(bq == pl.num_programs(0) - 1, j == npanels - 1)
+        )
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    dwk = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(bsz, h // r),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, cout, r, wtot), lambda b, j: (b, 0, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((9 * cin, cout), lambda b, j: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_NSLOT, cin, r, wtot), jnp.float32),
+                pltpu.SemaphoreType.DMA((_NSLOT,)),
+                pltpu.VMEM((9 * cin, cout), jnp.float32),
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * bsz * h * wtot * cin * cout,
+            bytes_accessed=4 * bsz * h * wtot * (cin + cout),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, dpre)
+    # K order is (col-tap, row-tap, channel) — prep_conv_weights' layout —
+    # so [9C, Cout] unflattens to (kw, kh, C, Cout), then kh/kw swap back.
+    return jnp.transpose(dwk.reshape(3, 3, cin, cout), (1, 0, 2, 3))
 
 
 # ---------------------------------------------------------------------------

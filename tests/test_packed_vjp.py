@@ -1,0 +1,185 @@
+"""Gradient parity for the packed-kernel custom VJPs (ops/packed_vjp.py)
+against jax.grad of the XLA reference chain, in interpret mode.
+
+At mode="highest" both forward and backward run fp32-exact dots, so the
+gradients must match the XLA HIGHEST reference to float tolerance; the
+training mode ("default") is checked by cosine similarity (its dots round
+bf16 like the forward's)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probgan_tpu.models import pro_gan
+from probgan_tpu.ops import packed_vjp, pallas_packed as pk
+from tests.test_pallas_packed import _rand, phase_block, unphase
+
+
+def _ref_conv_lrelu(x_nhwc, w, b):
+    y = jax.lax.conv_general_dilated(
+        x_nhwc, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    ) + b
+    return pro_gan.lrelu(y)
+
+
+def _ref_convpool_lrelu(x_nhwc, w, b):
+    return pro_gan.downsample_avg_2x(_ref_conv_lrelu(x_nhwc, w, b))
+
+
+def _cos(a, b):
+    a, b = np.ravel(a), np.ravel(b)
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+
+def _grads(loss_fn, *args):
+    return jax.jit(jax.grad(lambda *a: loss_fn(*a), argnums=(0, 1, 2)))(*args)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_conv_lrelu_grad_parity(p):
+    b, c, cout, h, w = 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 0)
+    wgt = _rand((3, 3, c, cout), 1, 0.2)
+    bias = _rand((cout,), 2)
+    cot = _rand((b, h, w, cout), 3)  # fixed cotangent via weighted-sum loss
+    cot_pk = jnp.asarray(phase_block(cot, p))
+    xp = jnp.asarray(phase_block(x, p))
+
+    def ref_loss(x, wgt, bias):
+        return jnp.sum(_ref_conv_lrelu(x, wgt, bias) * cot)
+
+    def pk_loss(xp, wgt, bias):
+        return jnp.sum(
+            packed_vjp.conv_lrelu(xp, wgt, bias, p, "highest") * cot_pk
+        )
+
+    gx_ref, gw_ref, gb_ref = _grads(ref_loss, jnp.asarray(x), jnp.asarray(wgt),
+                                    jnp.asarray(bias))
+    gx_pk, gw_pk, gb_pk = _grads(pk_loss, xp, jnp.asarray(wgt),
+                                 jnp.asarray(bias))
+    np.testing.assert_allclose(unphase(np.asarray(gx_pk), p),
+                               np.asarray(gx_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_pk), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_pk), np.asarray(gb_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("p", [2, 4])
+def test_convpool_lrelu_grad_parity(p):
+    b, c, cout, h, w = 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 4)
+    wgt = _rand((3, 3, c, cout), 5, 0.2)
+    bias = _rand((cout,), 6)
+    cot = _rand((b, h // 2, w // 2, cout), 7)
+    cot_pk = jnp.asarray(phase_block(cot, p // 2))
+    xp = jnp.asarray(phase_block(x, p))
+
+    def ref_loss(x, wgt, bias):
+        return jnp.sum(_ref_convpool_lrelu(x, wgt, bias) * cot)
+
+    def pk_loss(xp, wgt, bias):
+        return jnp.sum(
+            packed_vjp.convpool_lrelu(xp, wgt, bias, p, "highest") * cot_pk
+        )
+
+    gx_ref, gw_ref, gb_ref = _grads(ref_loss, jnp.asarray(x), jnp.asarray(wgt),
+                                    jnp.asarray(bias))
+    gx_pk, gw_pk, gb_pk = _grads(pk_loss, xp, jnp.asarray(wgt),
+                                 jnp.asarray(bias))
+    np.testing.assert_allclose(unphase(np.asarray(gx_pk), p),
+                               np.asarray(gx_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_pk), np.asarray(gw_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_pk), np.asarray(gb_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_lrelu_default_mode_grads_close():
+    """Training mode: dots round bf16 (one pass) in fwd and bwd — gradients
+    stay directionally faithful to the fp32 reference."""
+    p, b, c, cout, h, w = 2, 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 8)
+    wgt = _rand((3, 3, c, cout), 9, 0.2)
+    bias = _rand((cout,), 10)
+    cot = _rand((b, h, w, cout), 11)
+    cot_pk = jnp.asarray(phase_block(cot, p))
+    xp = jnp.asarray(phase_block(x, p))
+
+    def ref_loss(x, wgt, bias):
+        return jnp.sum(_ref_conv_lrelu(x, wgt, bias) * cot)
+
+    def pk_loss(xp, wgt, bias):
+        return jnp.sum(
+            packed_vjp.conv_lrelu(xp, wgt, bias, p, "default") * cot_pk
+        )
+
+    _, gw_ref, _ = _grads(ref_loss, jnp.asarray(x), jnp.asarray(wgt),
+                          jnp.asarray(bias))
+    gx_pk, gw_pk, gb_pk = _grads(pk_loss, xp, jnp.asarray(wgt),
+                                 jnp.asarray(bias))
+    assert _cos(np.asarray(gw_pk), np.asarray(gw_ref)) > 0.99
+    assert np.all(np.isfinite(np.asarray(gx_pk)))
+    assert np.all(np.isfinite(np.asarray(gb_pk)))
+
+
+def test_train_step_packed_d_parity():
+    """Full progan_train_step with packed_d=True vs the XLA path: at 256²
+    the gate routes one D stage through the VJP kernels; on CPU both paths
+    run fp32 dots (Precision.DEFAULT), so losses and the updated D params
+    must agree to float tolerance."""
+    from probgan_tpu.engine import train as train_engine
+
+    cfg = pro_gan.ProGANConfig(resolution=256, latent_dim=8, fmap_base=1024,
+                               fmap_max=64)
+    stage = 6
+    assert pro_gan.packed_d_stage_count(cfg, stage, "highest") == 1
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    real = jnp.asarray(_rand((2, 256, 256, 3), 20))
+    z = jnp.asarray(_rand((2, 8), 21))
+    alpha = jnp.asarray(0.7, jnp.float32)
+
+    s_ref, m_ref = train_engine.progan_train_step(
+        state, real, z, alpha, cfg, stage, packed_d=False)
+    s_pk, m_pk = train_engine.progan_train_step(
+        state, real, z, alpha, cfg, stage, packed_d=True)
+
+    np.testing.assert_allclose(float(m_pk["d_loss"]), float(m_ref["d_loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m_pk["g_loss"]), float(m_ref["g_loss"]),
+                               rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s_pk.d_params),
+        jax.tree_util.tree_leaves_with_path(s_ref.d_params),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
+def test_wgrad_kernel_matches_xla_correlation():
+    """packed_conv_wgrad alone vs the XLA wgrad of the same SAME conv."""
+    p, b, c, cout, h, w = 4, 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 12)
+    g = _rand((b, h, w, cout), 13)
+    xp = jnp.asarray(phase_block(x, p))
+    gp = jnp.asarray(phase_block(g, p))
+
+    def ref_loss(wgt):
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x), wgt, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(y * jnp.asarray(g))
+
+    wgt0 = jnp.zeros((3, 3, c, cout), jnp.float32)
+    want = jax.jit(jax.grad(ref_loss))(wgt0)
+    got = pk.packed_conv_wgrad(xp, gp, p, mode="highest", interpret=True)
+    # fp32 reduction order differs (per-row accumulation vs XLA's tree):
+    # ~1e-4 relative is the expected float32 agreement, not an error.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
