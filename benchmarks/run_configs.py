@@ -236,7 +236,7 @@ def main() -> None:
             args.seconds,
             2,
         )
-        def time_train(step_dtype, packed_d=False):
+        def time_train(step_dtype, packed_d=False, packed_g=False):
             """(first-call s, steady min s, final d_loss) at step_dtype."""
             with jax.default_device(jax.devices("cpu")[0]):
                 state = train_engine.progan_init_state(
@@ -247,6 +247,7 @@ def main() -> None:
             state, metrics = train_engine.progan_train_step(
                 state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
                 step_dtype, packed_fake=use_pallas_packed, packed_d=packed_d,
+                packed_g=packed_g,
             )
             float(metrics["d_loss"])  # hard sync
             first_s = time.perf_counter() - t0
@@ -258,7 +259,7 @@ def main() -> None:
                 state, metrics = train_engine.progan_train_step(
                     state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
                     step_dtype, packed_fake=use_pallas_packed,
-                    packed_d=packed_d,
+                    packed_d=packed_d, packed_g=packed_g,
                 )
                 float(metrics["d_loss"])
                 steady.append(time.perf_counter() - t1)
@@ -272,6 +273,9 @@ def main() -> None:
         # --packed_d: the late-stage D fwd+bwd on the phase-blocked Pallas
         # kernels (custom VJPs) on top of the bf16 step.
         _, steady_pkd_s, _ = time_train(jnp.bfloat16, packed_d=True)
+        # --packed_g on top: the generator's late-stage convs too.
+        _, steady_pkdg_s, _ = time_train(jnp.bfloat16, packed_d=True,
+                                         packed_g=True)
         emit({
             "config": 5, "name": "1024x1024_full_stack",
             "value": round(gen_ips, 3), "unit": "images/sec",
@@ -280,6 +284,7 @@ def main() -> None:
             "train_step_steady_s": round(steady_s, 3),
             "train_step_steady_bf16_s": round(steady_bf16_s, 3),
             "train_step_steady_bf16_packed_d_s": round(steady_pkd_s, 3),
+            "train_step_steady_bf16_packed_dg_s": round(steady_pkdg_s, 3),
             "d_loss": round(d_loss, 4),
         })
 

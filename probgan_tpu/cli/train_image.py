@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "phase-blocked Pallas kernels for forward AND "
                         "backward (custom VJPs, ops/packed_vjp.py); only "
                         "engages at stages >= 256² with nf <= 64")
+    parser.add_argument("--packed_g", action="store_true",
+                        help="Likewise for the generator's late-stage convs "
+                        "(fused upsample+conv and conv, lrelu+PixelNorm "
+                        "epilogue); toRGB/blend stay XLA")
     return parser
 
 
@@ -216,6 +220,7 @@ def main(argv: list[str] | None = None) -> int:
                     ema_beta=args.ema_beta,
                     packed_fake=packed_fake,
                     packed_d=args.packed_d,
+                    packed_g=args.packed_g,
                 )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]

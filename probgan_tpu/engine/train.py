@@ -74,7 +74,7 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
 @partial(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
-                     "packed_fake", "remat", "packed_d"),
+                     "packed_fake", "remat", "packed_d", "packed_g"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -89,6 +89,7 @@ def progan_train_step(
     packed_fake: bool = False,
     remat: bool = True,
     packed_d: bool = False,
+    packed_g: bool = False,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -113,14 +114,21 @@ def progan_train_step(
     ops/packed_vjp.py). Kernel grade is "default" (1-pass bf16 dots) —
     the same MXU grade the XLA training path uses for both fp32
     (Precision.DEFAULT) and bf16 dtypes, so the loss math class is
-    unchanged; only the layout (and the lane/HBM waste) differs."""
+    unchanged; only the layout (and the lane/HBM waste) differs.
+
+    ``packed_g``: likewise for the GENERATOR's late-stage convs — every
+    generator_rgb in the step (the d-step's fake render and the
+    differentiated g-step forward) runs them on the kernels via the
+    lrelu+PixelNorm custom VJPs (toRGB/blend stay XLA). Supersedes
+    ``packed_fake`` when set (same kernels, plus the backward)."""
     opt = progan_optimizer(lr)
     _d_train_mode = "default"
+    _g_train_mode = "default" if packed_g else None
 
     def d_loss_fn(d_params):
         fake = pro_gan.generator_rgb(
             state.g_params, z, config, stage, alpha, dtype,
-            packed=packed_fake,
+            packed=packed_fake, packed_mode=_g_train_mode,
         )
         # Logits promote to fp32 before the loss math: with dtype=bfloat16
         # the convs run bf16 on the MXU but the softplus/mean (and therefore
@@ -146,7 +154,8 @@ def progan_train_step(
 
     def g_loss_fn(g_params):
         fake = pro_gan.generator_rgb(
-            g_params, z, config, stage, alpha, dtype, remat=remat
+            g_params, z, config, stage, alpha, dtype, remat=remat,
+            packed_mode=_g_train_mode,
         )
         fake_logits = pro_gan.discriminator_apply(
             d_params, fake, config, stage, alpha, dtype, remat=remat,

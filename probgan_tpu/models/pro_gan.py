@@ -393,6 +393,66 @@ def _g_late_packed(
     raise AssertionError("unreachable")
 
 
+def _g_rgb_packed_train(
+    params: dict,
+    z: jax.Array,
+    config: ProGANConfig,
+    s0: int,
+    stage: int,
+    alpha,
+    dtype,
+    precision,
+    mode: str,
+    remat: bool,
+) -> jax.Array:
+    """Differentiable packed generator: stages [s0, stage] run on the
+    phase-blocked Pallas kernels through their custom VJPs
+    (ops/packed_vjp.upconv_lrelu_norm / conv_lrelu_norm), so the training
+    step's G forward AND backward use the kernels for the lane-wasteful
+    late stages. toRGB + the progressive blend stay in XLA on NHWC (1x1
+    convs at 3 output channels — no lane waste to recover, and the layout
+    unpacks are pure transposes). The VJP ops save only their inputs and
+    recompute activations in the backward, so no extra remat wrapping is
+    needed for the packed stages."""
+    from probgan_tpu.ops import packed_vjp, pallas_packed as pk
+
+    block_fn = _g_block
+    if remat:
+        block_fn = jax.checkpoint(
+            _g_block, static_argnums=(2,), policy=_REMAT_POLICY
+        )
+
+    def conv_w(pr):
+        w = pr["w"]
+        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+
+    x = _g_base(params, z, config, dtype, precision)
+    for s in range(1, s0):
+        x = block_fn(params["blocks"][s - 1], x, precision)
+    prev_nhwc = x.astype(jnp.float32)  # stage s0-1 features (blend operand)
+    xp = pk.nhwc_to_packed(prev_nhwc)
+    p = 1
+    for s in range(s0, stage + 1):
+        if s == stage and s > s0:
+            prev_nhwc = pk.packed_rgb_to_nhwc(xp, p)
+        block = params["blocks"][s - 1]
+        xp = packed_vjp.upconv_lrelu_norm(
+            xp, conv_w(block["conv1"]), block["conv1"]["b"], p, mode
+        )
+        p *= 2
+        xp = packed_vjp.conv_lrelu_norm(
+            xp, conv_w(block["conv2"]), block["conv2"]["b"], p, mode
+        )
+    y = pk.packed_rgb_to_nhwc(xp, p)
+    rgb = eq_conv(params["to_rgb"][stage], y, gain=1.0, precision=precision)
+    rgb_prev = upsample_nearest_2x(
+        eq_conv(params["to_rgb"][stage - 1], prev_nhwc, gain=1.0,
+                precision=precision)
+    )
+    a = jnp.asarray(alpha, dtype=rgb.dtype)
+    return rgb_prev + a * (rgb - rgb_prev)
+
+
 def generator_rgb(
     params: dict,
     z: jax.Array,
@@ -403,14 +463,26 @@ def generator_rgb(
     precision=None,
     remat: bool = False,
     packed: bool = False,
+    packed_mode: str | None = None,
 ) -> jax.Array:
     """Latent -> pre-tanh RGB at resolution ``4 * 2**stage`` with progressive
     alpha blend: lerp(upsample(toRGB_{s-1}(x_{s-1})), toRGB_s(x_s), alpha).
 
     ``packed=True`` routes the eligible late stages (packed_start_stage)
     through the phase-blocked Pallas kernel path — the production inference
-    configuration on TPU. Forward-only (the kernels define no VJP); training
-    and any non-fp32 dtype use the XLA path regardless."""
+    configuration on TPU. That path is forward-only (fused toRGB/uint8
+    kernels define no VJP); training and any non-fp32 dtype use the XLA
+    path regardless. ``packed_mode`` instead selects the DIFFERENTIABLE
+    packed path (_g_rgb_packed_train): late-stage convs on the kernels via
+    custom VJPs at the given kernel grade, toRGB/blend in XLA — the train
+    step's configuration (any dtype)."""
+    if packed_mode is not None and stage > 0:
+        s0 = packed_start_stage(config, stage)
+        if s0 is not None:
+            return _g_rgb_packed_train(
+                params, z, config, s0, stage, alpha, dtype, precision,
+                packed_mode, remat,
+            )
     s0 = None
     if packed and dtype == jnp.float32:
         s0 = packed_start_stage(config, stage)

@@ -36,6 +36,15 @@ the forward's (tests/test_packed_vjp.py checks both).
 Used by models/pro_gan.discriminator_apply for the training path
 (packed + VJP) so progan_train_step runs its late-stage D forward AND
 backward on the packed kernels (VERDICT r2 next-step #3).
+
+Generator-side ops (``conv_lrelu_norm``, ``upconv_lrelu_norm``) extend the
+same recipe to the lrelu+PixelNorm epilogue: PixelNorm's backward needs its
+pre-norm input, which both backwards RECOMPUTE with one norm-free forward
+pass (recovering it from the normed output is catastrophic fp32
+cancellation — see _conv_norm_bwd). The fused upsample+conv's input
+gradient is the transposed conv SUM-pooled 2x2 (= 4x ``packed_convpool``
+with a "none" epilogue); its weight gradient correlates the transiently
+materialized upsampled input with the cotangent.
 """
 
 from __future__ import annotations
@@ -126,3 +135,94 @@ def _convpool_bwd(p, mode, res, g):
 
 
 convpool_lrelu.defvjp(_convpool_fwd, _convpool_bwd)
+
+
+# ---------------------------------------------------------------------------
+# generator-side ops: conv / fused-upconv with the lrelu+PixelNorm epilogue
+# ---------------------------------------------------------------------------
+
+def _pixelnorm_bwd(u: jax.Array, g: jax.Array) -> jax.Array:
+    """Cotangent through PixelNorm given its INPUT u (post-lrelu, channel
+    axis 1): y = u*r with r = rsqrt(mean_c(u^2) + eps), so
+    du = r * (g - u * r^2 * mean_c(g*u))."""
+    r = jax.lax.rsqrt(
+        jnp.mean(u * u, axis=1, keepdims=True) + pk._PIXELNORM_EPS
+    )
+    return r * (g - u * (r * r) * jnp.mean(g * u, axis=1, keepdims=True))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv_lrelu_norm(x, w, b, p, mode="default"):
+    """Differentiable ``packed_conv(..., epilogue="lrelu_norm")`` (the
+    generator block's second conv): [B, C, H, P*Wp] -> [B, Cout, H, P*Wp]."""
+    return pk.packed_conv(x, w, b, p, mode=mode, epilogue="lrelu_norm")
+
+
+def _conv_norm_fwd(x, w, b, p, mode):
+    y = pk.packed_conv(x, w, b, p, mode=mode, epilogue="lrelu_norm")
+    return y, (x, w, b)
+
+
+def _conv_norm_bwd(p, mode, res, g):
+    x, w, b = res
+    # PixelNorm's backward needs its INPUT (recovering it from the normed
+    # output divides by (1 - mean(y^2)) ~ eps/(m+eps) — catastrophic fp32
+    # cancellation), so recompute the post-lrelu pre-norm tensor with one
+    # norm-free forward. Its sign is also the lrelu mask.
+    u = pk.packed_conv(x, w, b, p, mode=mode, epilogue="lrelu")
+    dpre = _lrelu_bwd(u, _pixelnorm_bwd(u, g))
+    dx = pk.packed_conv(
+        dpre, _flip_w(w), jnp.zeros((w.shape[2],), jnp.float32), p,
+        mode=mode, epilogue="none",
+    )
+    dw = pk.packed_conv_wgrad(x, dpre, p, mode=mode)
+    db = jnp.sum(dpre, axis=(0, 2, 3))
+    return dx, dw, db
+
+
+conv_lrelu_norm.defvjp(_conv_norm_fwd, _conv_norm_bwd)
+
+
+def _up_phase_blocked(x: jax.Array, p_in: int) -> jax.Array:
+    """Nearest-2x upsample in the phase-blocked layout: [B, C, H, P_in*Wp]
+    -> [B, C, 2H, 2*P_in*Wp] (row repeat + phase-block duplication)."""
+    wp = x.shape[-1] // p_in
+    return pk._dup_blocks(jnp.repeat(x, 2, axis=2), p_in, wp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def upconv_lrelu_norm(x, w, b, p_in, mode="default"):
+    """Differentiable ``packed_upconv`` (fused nearest-2x upsample + conv3x3
+    + bias + LeakyReLU + PixelNorm — the generator block's first conv):
+    [B, C, H, P_in*Wp] -> [B, Cout, 2H, (2*P_in)*Wp]."""
+    return pk.packed_upconv(x, w, b, p_in, mode=mode)
+
+
+def _upconv_fwd(x, w, b, p_in, mode):
+    y = pk.packed_upconv(x, w, b, p_in, mode=mode)
+    return y, (x, w, b)
+
+
+def _upconv_bwd(p_in, mode, res, g):
+    x, w, b = res
+    p_out = 2 * p_in
+    # Recompute the post-lrelu pre-norm tensor at output resolution (see
+    # _conv_norm_bwd on why recovery from y is numerically unusable).
+    u = pk.packed_upconv(x, w, b, p_in, mode=mode, epilogue="lrelu")
+    dpre = _lrelu_bwd(u, _pixelnorm_bwd(u, g))
+    # d/dx of conv(up(x), w): transpose-conv then the upsample's adjoint —
+    # a 2x2 SUM pool = 4x the fused conv+mean-pool with a "none" epilogue.
+    dx = 4.0 * pk.packed_convpool(
+        dpre, _flip_w(w), jnp.zeros((w.shape[2],), jnp.float32), p_out,
+        mode=mode, epilogue="none",
+    )
+    # d/dw: correlation of the (never-materialized-in-fwd) upsampled input
+    # with the cotangent; materializing up(x) here is transient and reads
+    # the SMALLER-resolution x.
+    dw = pk.packed_conv_wgrad(_up_phase_blocked(x, p_in), dpre, p_out,
+                              mode=mode)
+    db = jnp.sum(dpre, axis=(0, 2, 3))
+    return dx, dw, db
+
+
+upconv_lrelu_norm.defvjp(_upconv_fwd, _upconv_bwd)

@@ -298,11 +298,12 @@ def _conv_rows3(rows3, wk, wp, mode, interpret):
     return _dot(wk, x_all, mode)
 
 
-def _upconv_rows(get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret):
+def _upconv_rows(get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret,
+                 act=_act_norm):
     """Post-activation output rows (2i, 2i+1) of the fused nearest-2x
-    upsample + conv3x3 + bias + LeakyReLU + PixelNorm, as a 2-list of
-    [Cout, W_out]. Shared by ``packed_upconv`` and the stage-fused kernels
-    so the two paths are bitwise identical per mode.
+    upsample + conv3x3 + bias + ``act`` (default LeakyReLU + PixelNorm),
+    as a 2-list of [Cout, W_out]. Shared by ``packed_upconv`` and the
+    stage-fused kernels so the two paths are bitwise identical per mode.
 
     Output columns split by parity: even column 2v consumes input columns
     (v-1, v) with col kernels (Kc0, Kc1+Kc2); odd column 2v+1 consumes
@@ -328,7 +329,7 @@ def _upconv_rows(get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret):
         # act+norm are per-pixel over channels: applying per parity half
         # then interleaving equals applying after assembly.
         out.append(
-            _interleave_blocks(_act_norm(even), _act_norm(odd), p_in, wp)
+            _interleave_blocks(act(even), act(odd), p_in, wp)
         )
     return out
 
@@ -435,6 +436,7 @@ def packed_convpool(
     rows_per_step: int = 8,  # OUTPUT rows per grid step (16 input rows);
                              # must stay a multiple of 8 (output sublanes)
     interpret: bool | None = None,
+    epilogue: str = "lrelu",
 ) -> jax.Array:
     """Fused SAME conv3x3 + bias + LeakyReLU + 2x2 mean pool:
     [B, C, H, P*Wp] -> [B, Cout, H/2, (P/2)*Wp]. The discriminator block
@@ -445,7 +447,11 @@ def packed_convpool(
     live in phase blocks 2m, 2m+1 at the same lane offset — the inverse of
     the upsample's block duplication), so the phase count HALVES per pool:
     the packed discriminator path enters at P = 2^n_packed_stages and exits
-    at P = 1. Requires P even."""
+    at P = 1. Requires P even.
+
+    ``epilogue``: "lrelu" (discriminator forward) or "none" (conv+bias then
+    pool — x4 this is the SUM-pooled transposed conv that is the fused
+    upsample+conv's input gradient, ops/packed_vjp.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if p % 2 != 0:
@@ -462,6 +468,7 @@ def packed_convpool(
     r_in = 2 * rout
     _check_row_panels(h // 2, rout, "packed_convpool (output rows)")
     wk_host = prep_conv_weights(w, mode)
+    act = _epilogue_fn(epilogue)
 
     def kern(x_hbm, wk_ref, b_ref, out_ref, buf, sems):
         bq = pl.program_id(0)
@@ -470,11 +477,11 @@ def packed_convpool(
 
         def row_body(t, _):
             g = j * rout + t  # output row; consumes conv rows (2g, 2g+1)
-            l0 = _lrelu(
+            l0 = act(
                 _conv_row(get_row, wk_ref[:], 2 * g, wp, mode, interpret)
                 + b_ref[0][:, None]
             )
-            l1 = _lrelu(
+            l1 = act(
                 _conv_row(get_row, wk_ref[:], 2 * g + 1, wp, mode, interpret)
                 + b_ref[0][:, None]
             )
@@ -804,13 +811,16 @@ def packed_upconv(
     interpret: bool | None = None,
     rgb_w: jax.Array | None = None,  # [C, 3] eq-LR toRGB of the INPUT
     rgb_b: jax.Array | None = None,  # [3]
+    epilogue: str = "lrelu_norm",
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Fused nearest-2x upsample + conv3x3 + bias + LeakyReLU + PixelNorm:
     [B, C, H, P_in*Wp] -> [B, Cout, 2H, (2*P_in)*Wp].
 
     With ``rgb_w`` given, additionally emits toRGB(input) at input
     resolution, 8-channel padded — the ``rgb_prev`` operand of
-    ``packed_conv_rgb`` for free (the input rows are already in VMEM)."""
+    ``packed_conv_rgb`` for free (the input rows are already in VMEM).
+    ``epilogue``: "lrelu_norm" (generator forward) or "lrelu" (the VJP
+    path's pre-norm recompute, ops/packed_vjp.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, cin, h, wtot = x.shape
@@ -819,6 +829,7 @@ def packed_upconv(
     r = rows_per_step
     _check_row_panels(h, r, "packed_upconv")
     wk_host = prep_upconv_weights(w, mode)
+    act = _epilogue_fn(epilogue)
     emit_rgb = rgb_w is not None
     if emit_rgb:
         wrgb_host = stack_weights(jnp.pad(rgb_w, ((0, 0), (0, 5))), mode)
@@ -840,7 +851,7 @@ def packed_upconv(
                 val = _dot(wrgb_ref[:], get_row(i), mode) + brgb_ref[0][:, None]
                 rgbout_ref[0, :, pl.ds(t, 1), :] = val[:, None, :]
             pair = _upconv_rows(
-                get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret
+                get_row, wk_ref, b_ref, i, p_in, wp, mode, interpret, act
             )
             for p in range(2):  # output rows 2i+p
                 out_ref[0, :, pl.ds(2 * t + p, 1), :] = pair[p][:, None, :]
