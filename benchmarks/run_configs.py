@@ -62,6 +62,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", type=str, default="1,2,3,4,5")
     parser.add_argument("--seconds", type=float, default=5.0)
+    parser.add_argument("--train_batch", type=int, default=2,
+                        help="batch for config 5's train-step timings "
+                        "(2 = the BASELINE shape)")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--precision", type=str, default="high",
@@ -236,6 +239,17 @@ def main() -> None:
             args.seconds,
             2,
         )
+        # --train_batch: the train-step measurements' batch (the serving
+        # configs above stay at the BASELINE shapes). b2 is the BASELINE
+        # config-5 shape; larger batches amortize per-step overhead and are
+        # the realistic training configuration.
+        tb = args.train_batch
+        reps = -(-tb // imgs.shape[0])
+        imgs_t = jnp.tile(imgs, (reps, 1, 1, 1))[:tb]
+        z_t = jnp.asarray(
+            rng.standard_normal((tb, cfg.latent_dim)), jnp.float32
+        )
+
         def time_train(step_dtype, packed_d=False, packed_g=False):
             """(first-call s, steady min s, final d_loss) at step_dtype."""
             with jax.default_device(jax.devices("cpu")[0]):
@@ -245,7 +259,7 @@ def main() -> None:
             state = jax.device_put(state, jax.devices()[0])
             t0 = time.perf_counter()
             state, metrics = train_engine.progan_train_step(
-                state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
+                state, imgs_t, z_t, jnp.float32(1.0), cfg, stage, 1e-3,
                 step_dtype, packed_fake=use_pallas_packed, packed_d=packed_d,
                 packed_g=packed_g,
             )
@@ -257,7 +271,7 @@ def main() -> None:
             for _ in range(5):
                 t1 = time.perf_counter()
                 state, metrics = train_engine.progan_train_step(
-                    state, imgs, z, jnp.float32(1.0), cfg, stage, 1e-3,
+                    state, imgs_t, z_t, jnp.float32(1.0), cfg, stage, 1e-3,
                     step_dtype, packed_fake=use_pallas_packed,
                     packed_d=packed_d, packed_g=packed_g,
                 )
@@ -285,6 +299,7 @@ def main() -> None:
             "train_step_steady_bf16_s": round(steady_bf16_s, 3),
             "train_step_steady_bf16_packed_d_s": round(steady_pkd_s, 3),
             "train_step_steady_bf16_packed_dg_s": round(steady_pkdg_s, 3),
+            "train_batch": tb,
             "d_loss": round(d_loss, 4),
         })
 
