@@ -91,6 +91,14 @@ def _he_scale(fan_in: int, gain: float = math.sqrt(2.0)) -> float:
     return gain / math.sqrt(fan_in)
 
 
+def eq_scaled_conv_w(pr: dict) -> jax.Array:
+    """Equalized-LR 3x3 conv weights with the He scale baked in — the
+    weight operand the packed Pallas kernels consume (shared by the packed
+    G/D forward paths and the VJP train paths)."""
+    w = pr["w"]
+    return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+
+
 # MXU precision for convs/matmuls: None -> the jax default (single-pass
 # bf16 on TPU, ~48 dB vs the fp32 CPU reference at 1024²); "high" -> 3-pass
 # fp32 emulation (~73 dB, the parity-grade setting); "highest" -> 6-pass.
@@ -332,10 +340,7 @@ def _g_late_packed(
 
     mode = _PACKED_MODES[precision]
     stage_fused = os.environ.get("PROBGAN_STAGE_FUSED", "0") == "1"
-
-    def conv_w(p):  # eq-LR scale baked into the weights
-        w = p["w"]
-        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+    conv_w = eq_scaled_conv_w
 
     def rgb_w(p):  # toRGB: 1x1 conv, gain 1 -> [C, 3]
         w = p["w"]
@@ -422,9 +427,7 @@ def _g_rgb_packed_train(
             _g_block, static_argnums=(2,), policy=_REMAT_POLICY
         )
 
-    def conv_w(pr):
-        w = pr["w"]
-        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+    conv_w = eq_scaled_conv_w
 
     x = _g_base(params, z, config, dtype, precision)
     for s in range(1, s0):
@@ -443,11 +446,13 @@ def _g_rgb_packed_train(
         xp = packed_vjp.conv_lrelu_norm(
             xp, conv_w(block["conv2"]), block["conv2"]["b"], p, mode
         )
-    y = pk.packed_rgb_to_nhwc(xp, p)
+    # The kernels compute/emit fp32; cast back so the toRGB/blend tail
+    # runs at the step's dtype like the XLA path.
+    y = pk.packed_rgb_to_nhwc(xp, p).astype(dtype)
     rgb = eq_conv(params["to_rgb"][stage], y, gain=1.0, precision=precision)
     rgb_prev = upsample_nearest_2x(
-        eq_conv(params["to_rgb"][stage - 1], prev_nhwc, gain=1.0,
-                precision=precision)
+        eq_conv(params["to_rgb"][stage - 1], prev_nhwc.astype(dtype),
+                gain=1.0, precision=precision)
     )
     a = jnp.asarray(alpha, dtype=rgb.dtype)
     return rgb_prev + a * (rgb - rgb_prev)
@@ -663,9 +668,7 @@ def _d_early_packed(
         mode = _PACKED_MODES_D[precision]
     p = 2 ** n
 
-    def conv_w(pr):
-        w = pr["w"]
-        return w * _he_scale(w.shape[0] * w.shape[1] * w.shape[2])
+    conv_w = eq_scaled_conv_w
 
     x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
     xp = pk.nhwc_to_phase_blocked(x.astype(jnp.float32), p)
@@ -728,8 +731,10 @@ def discriminator_apply(
     elif packed and dtype == jnp.float32:
         n = packed_d_stage_count(config, stage, precision)
     if n > 0:
+        # The kernels compute/emit fp32; cast back so the remaining XLA
+        # stages run at the step's dtype like the non-packed branch.
         x = _d_early_packed(params, image, config, stage, alpha, precision, n,
-                            mode=packed_mode)
+                            mode=packed_mode).astype(dtype)
     else:
         x = lrelu(eq_conv(params["from_rgb"][stage], image, precision=precision))
     for s in range(stage - n, 0, -1):

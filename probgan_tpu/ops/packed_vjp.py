@@ -30,8 +30,12 @@ the same kernels:
   storing a full-res mask.
 
 Gradients are exact w.r.t. each kernel's own arithmetic at mode
-"highest"; at the training modes ("default"/"mid") the dots round like
-the forward's (tests/test_packed_vjp.py checks both).
+"highest"; at the training mode "default" the dots round bf16 like the
+forward's (tests/test_packed_vjp.py checks both). For the split modes
+("mid"/"high") the dgrad conv applies the same term-splitting as the
+forward, while packed_conv_wgrad — which has no split implementation —
+promotes its dots to HIGHEST, i.e. the weight gradient is at least as
+accurate as the requested grade.
 
 Used by models/pro_gan.discriminator_apply for the training path
 (packed + VJP) so progan_train_step runs its late-stage D forward AND
@@ -124,7 +128,7 @@ def _convpool_bwd(p, mode, res, g):
     # for the lrelu mask (one epilogue-free forward — cheaper than storing
     # a full-resolution mask tensor would make the forward).
     pre = pk.packed_conv(x, w, b, p, mode=mode, epilogue="none")
-    dpre = jnp.where(pre >= 0, dact, pk.LRELU_SLOPE * dact)
+    dpre = _lrelu_bwd(pre, dact)
     dx = pk.packed_conv(
         dpre, _flip_w(w), jnp.zeros((w.shape[2],), jnp.float32), p,
         mode=mode, epilogue="none",

@@ -552,7 +552,13 @@ def packed_conv_wgrad(
     exactly once and nothing else touches HBM until the single accumulator
     write-out at the last step. Returns dw ``[3, 3, C, Cout]`` fp32 w.r.t.
     the (eq-LR scaled) weight operand the forward consumed; the bias
-    gradient is a plain XLA reduction of ``dpre`` (no kernel needed)."""
+    gradient is a plain XLA reduction of ``dpre`` (no kernel needed).
+
+    Mode handling: this kernel does not implement the forward's hi/lo
+    term-splitting, so every mode above "default" runs its dots at
+    HIGHEST (6-pass fp32 emulation) — at least as accurate as the split
+    grade the caller asked for, never silently less. "default" stays
+    1-pass bf16 (the training grade)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bsz, cin, h, wtot = x.shape
@@ -561,8 +567,8 @@ def packed_conv_wgrad(
     r = rows_per_step
     _check_row_panels(h, r, "packed_conv_wgrad")
     precision = (
-        jax.lax.Precision.HIGHEST if mode == "highest"
-        else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.DEFAULT if mode == "default"
+        else jax.lax.Precision.HIGHEST
     )
 
     def kern(x_hbm, g_ref, out_ref, buf, sems, acc_ref):
