@@ -28,6 +28,24 @@ def _ref_convpool_lrelu(x_nhwc, w, b):
     return pro_gan.downsample_avg_2x(_ref_conv_lrelu(x_nhwc, w, b))
 
 
+def test_conv_lrelu_mid_mode_wgrad_promoted():
+    """Split modes ("mid"/"high") have no wgrad split implementation; the
+    kernel promotes those dots to HIGHEST instead of silently degrading to
+    1-pass bf16 — so at mode "mid" the weight gradient must match the
+    HIGHEST reference to float tolerance (the dgrad conv applies the same
+    2-term split as the forward and is covered by the forward's own mode
+    parity tests)."""
+    p, b, c, cout, h, w = 2, 2, 8, 8, 16, 32
+    x = _rand((b, h, w, c), 40)
+    g = _rand((b, h, w, cout), 41)
+    xp = jnp.asarray(phase_block(x, p))
+    gp = jnp.asarray(phase_block(g, p))
+    want = pk.packed_conv_wgrad(xp, gp, p, mode="highest", interpret=True)
+    got = pk.packed_conv_wgrad(xp, gp, p, mode="mid", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def _cos(a, b):
     a, b = np.ravel(a), np.ravel(b)
     return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
