@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -43,6 +44,72 @@ SEED = 7
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+# Relay outages are a fact of this environment (BENCH_r03 was lost to one:
+# "Unable to initialize backend 'axon': UNAVAILABLE" mid-round). Because
+# JAX_PLATFORMS=axon makes the TPU backend *required*, a single failed init
+# poisons the in-process jax backend cache — so availability is probed in a
+# throwaway subprocess, with bounded retry/backoff (~3 min total), before the
+# main process ever touches jax.
+PROBE_ATTEMPTS = int(os.environ.get("PROBGAN_BENCH_PROBE_ATTEMPTS", "4"))
+# A down relay HANGS jax.devices() rather than failing fast (observed both
+# round 3 and round 4), so each probe also needs its own timeout.
+PROBE_TIMEOUT = float(os.environ.get("PROBGAN_BENCH_PROBE_TIMEOUT", "90"))
+PROBE_DELAYS = [0.0, 20.0, 45.0, 75.0]  # cumulative ~2.3 min between probes
+
+
+def probe_backend() -> bool:
+    for i in range(PROBE_ATTEMPTS):
+        if i:
+            delay = PROBE_DELAYS[min(i, len(PROBE_DELAYS) - 1)]
+            log(f"backend probe retry {i + 1}/{PROBE_ATTEMPTS} in {delay:.0f}s")
+            time.sleep(delay)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=PROBE_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"backend probe {i + 1}/{PROBE_ATTEMPTS}: timeout (relay hang)")
+            continue
+        if r.returncode == 0:
+            return True
+        tail = r.stderr.decode(errors="replace").strip().splitlines()
+        log(f"backend probe {i + 1}/{PROBE_ATTEMPTS} failed: "
+            f"{tail[-1] if tail else 'no stderr'}")
+    return False
+
+
+def read_cached_cpu_baseline() -> float | None:
+    """Cached CPU-reference img/s without initializing any jax backend."""
+    try:
+        import torch
+
+        key = f"res{RES}_torch{torch.__version__.split('+')[0]}"
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+        return float(cache[key])
+    except Exception:
+        return None
+
+
+def emit_failure(reason: str, detail: str, partial: dict | None = None) -> None:
+    """Machine-readable failure record — the driver artifact is never empty."""
+    cpu = read_cached_cpu_baseline()
+    result = {
+        "metric": f"images_per_sec_chip_{RES}x{RES}_generator_forward",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": reason,
+        "error_detail": detail[-500:],
+        "cpu_baseline_img_per_sec": round(cpu, 4) if cpu is not None else None,
+    }
+    if partial:
+        result.update(partial)
+    print(json.dumps(result))
 
 
 def measure_cpu_baseline(jax_params, cfg) -> float:
@@ -82,6 +149,24 @@ def measure_cpu_baseline(jax_params, cfg) -> float:
 
 
 def main() -> None:
+    if not probe_backend():
+        emit_failure(
+            "backend_unavailable",
+            f"axon backend failed to initialize after {PROBE_ATTEMPTS} "
+            "probe attempts (~3 min); relay outage",
+        )
+        return
+    partial: dict = {}
+    try:
+        run_bench(partial)
+    except Exception as e:  # noqa: BLE001 — one JSON line beats a stack trace
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit_failure("runtime_failure", f"{type(e).__name__}: {e}", partial)
+
+
+def run_bench(partial: dict) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +186,7 @@ def main() -> None:
         g_params = pro_gan.init_generator(jax.random.key(SEED), cfg)
 
     cpu_ips = measure_cpu_baseline(g_params, cfg)
+    partial["cpu_baseline_img_per_sec"] = round(cpu_ips, 4)
 
     g_params = jax.device_put(g_params, jax.devices()[0])
     # Pallas uint8 denorm measured 13% SLOWER than letting XLA fuse the
@@ -158,6 +244,10 @@ def main() -> None:
     p50_ms = 1000.0 * float(np.percentile(latencies, 50)) / (BATCH * CHAIN)
 
     log(f"device: {ips:.2f} img/s, p50 {p50_ms:.2f} ms/img over {len(latencies)} batches")
+    # Milestone for the failure record: a crash later (e.g. in the fast-grade
+    # compile) still reports the measured headline.
+    partial["headline_img_per_sec"] = round(ips, 3)
+    partial["headline_vs_baseline"] = round(ips / cpu_ips, 2) if cpu_ips > 0 else None
 
     # Secondary metric: the "fast" serving grade (cheapest precision mode
     # measured >= 50 dB PSNR vs the parity path; benchmarks/packed_psnr.py
