@@ -120,8 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["default", "fast", "high", "highest"],
         help="Image-task serving grade (generate_images): 'high' is the "
         "parity-grade production default; 'fast' is the cheapest grade "
-        "measured above the 50 dB parity bar (~1.8x faster); 'default' "
-        "is 1-pass bf16 (below the bar)",
+        "measured above the 50 dB parity bar (~1.4x faster than 'high'; "
+        "see benchmarks/RESULTS.md); 'default' is 1-pass bf16 (below the "
+        "bar)",
     )
     parser.add_argument(
         "--profile_dir",

@@ -48,9 +48,11 @@ Precision modes (matching models/pro_gan.py's MXU ladder):
              only exposes DEFAULT/HIGHEST so the passes are materialized in
              the K dimension)
 - "mid":     2-term split (hi*hi + hi*lo = w_hi * x exactly): only the
-             weight rounding is dropped (~2^-9 relative/dot) — the "fast"
-             serving grade's kernel mode (above the 50 dB north-star bar
-             end-to-end; see benchmarks/packed_psnr.py)
+             weight rounding is dropped (~2^-9 relative/dot) — the fast
+             grade's kernel mode on the D scoring ladder; the G serving
+             ladder maps fast to "default" (see
+             models/pro_gan._PACKED_MODES; end-to-end >= 50 dB verified by
+             benchmarks/packed_psnr.py)
 - "default": fp32 operands, Precision.DEFAULT (1 bf16 pass)
 
 The ops fused here are the reference-free north-star image family
