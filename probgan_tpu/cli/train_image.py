@@ -95,6 +95,19 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Likewise for the generator's late-stage convs "
                         "(fused upsample+conv and conv, lrelu+PixelNorm "
                         "epilogue); toRGB/blend stay XLA")
+    parser.add_argument("--packed_mode", type=str, default="default",
+                        choices=["default", "mid", "high"],
+                        help="MXU grade of the packed training kernels' dots "
+                        "when --packed_d/--packed_g engage: 'default' is "
+                        "1-pass bf16 (the same class as the XLA training "
+                        "path), 'mid' drops only the weight rounding (2-term "
+                        "split), 'high' is 3-pass fp32 emulation")
+    parser.add_argument("--fast", action="store_true",
+                        help="The measured-fast production training preset: "
+                        "implies --bf16 --packed_d --packed_g (1024² b2 "
+                        "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
+                        "full 256² and 1024² schedules — see "
+                        "docs/TRAINING.md and benchmarks/RESULTS.md)")
     return parser
 
 
@@ -110,6 +123,8 @@ def _downscale(images: np.ndarray, factor: int) -> np.ndarray:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.fast:
+        args.bf16 = args.packed_d = args.packed_g = True
 
     import jax
     import jax.numpy as jnp
@@ -221,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
                     packed_fake=packed_fake,
                     packed_d=args.packed_d,
                     packed_g=args.packed_g,
+                    packed_train_mode=args.packed_mode,
                 )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]

@@ -74,7 +74,8 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
 @partial(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
-                     "packed_fake", "remat", "packed_d", "packed_g"),
+                     "packed_fake", "remat", "packed_d", "packed_g",
+                     "packed_train_mode"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -90,6 +91,7 @@ def progan_train_step(
     remat: bool = True,
     packed_d: bool = False,
     packed_g: bool = False,
+    packed_train_mode: str = "default",
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -120,10 +122,18 @@ def progan_train_step(
     generator_rgb in the step (the d-step's fake render and the
     differentiated g-step forward) runs them on the kernels via the
     lrelu+PixelNorm custom VJPs (toRGB/blend stay XLA). Supersedes
-    ``packed_fake`` when set (same kernels, plus the backward)."""
+    ``packed_fake`` when set (same kernels, plus the backward).
+
+    ``packed_train_mode``: MXU grade of the packed kernels' dots when
+    packed_d/packed_g engage — "default" (1 bf16 pass, the same class as
+    XLA's Precision.DEFAULT and the measured-fast choice), "mid" (2-term
+    hi/lo split: weight rounding removed, ~2^-9 relative/dot), or "high"
+    (3-pass fp32 emulation). The custom VJPs propagate the mode to both
+    backward convs; wgrad promotes split modes to HIGHEST
+    (ops/packed_vjp.py). Ignored on the XLA path."""
     opt = progan_optimizer(lr)
-    _d_train_mode = "default"
-    _g_train_mode = "default" if packed_g else None
+    _d_train_mode = packed_train_mode
+    _g_train_mode = packed_train_mode if packed_g else None
 
     def d_loss_fn(d_params):
         fake = pro_gan.generator_rgb(

@@ -261,6 +261,79 @@ def test_train_step_packed_d_parity():
                                        err_msg=jax.tree_util.keystr(pa))
 
 
+def test_train_step_packed_mid_mode_parity():
+    """packed_train_mode="mid" (the 2-term split: only weight rounding
+    dropped, ~2^-9 relative per dot — a REAL perturbation even in CPU
+    interpret mode, unlike "default" whose interpret dots are exact fp32)
+    vs the XLA fp32 path, compared on RAW GRADIENTS of the same D and G
+    losses progan_train_step differentiates. Post-Adam params are the wrong
+    observable here: the first Adam step is sign-like (update ~ ±lr), so
+    any near-zero gradient whose sign flips under the rounding moves its
+    update by 2*lr. Raw-gradient cosine weights components by magnitude and
+    pins the thing the mode actually changes."""
+    from probgan_tpu.engine import train as train_engine
+
+    cfg = pro_gan.ProGANConfig(resolution=256, latent_dim=8, fmap_base=1024,
+                               fmap_max=64)
+    stage = 6
+    state = train_engine.progan_init_state(jax.random.key(0), cfg, lr=1e-3)
+    real = jnp.asarray(_rand((2, 256, 256, 3), 30))
+    z = jnp.asarray(_rand((2, 8), 31))
+    alpha = jnp.asarray(0.7, jnp.float32)
+
+    def losses(g_params, d_params, packed, mode):
+        pm = mode if packed else None
+        fake = pro_gan.generator_rgb(
+            state.g_params, z, cfg, stage, alpha, packed_mode=pm)
+        real_logits = pro_gan.discriminator_apply(
+            d_params, real, cfg, stage, alpha, packed=packed, packed_mode=pm
+        ).astype(jnp.float32)
+        fake_logits_d = pro_gan.discriminator_apply(
+            d_params, jax.lax.stop_gradient(fake), cfg, stage, alpha,
+            packed=packed, packed_mode=pm,
+        ).astype(jnp.float32)
+        d_loss = (jnp.mean(jax.nn.softplus(-real_logits))
+                  + jnp.mean(jax.nn.softplus(fake_logits_d)))
+        fake_g = pro_gan.generator_rgb(
+            g_params, z, cfg, stage, alpha, packed_mode=pm)
+        fake_logits_g = pro_gan.discriminator_apply(
+            state.d_params, fake_g, cfg, stage, alpha,
+            packed=packed, packed_mode=pm,
+        ).astype(jnp.float32)
+        return d_loss, jnp.mean(jax.nn.softplus(-fake_logits_g))
+
+    def grads(packed, mode):
+        def d_fn(dp):
+            return losses(state.g_params, dp, packed, mode)[0]
+
+        def g_fn(gp):
+            return losses(gp, state.d_params, packed, mode)[1]
+
+        return (jax.jit(jax.grad(d_fn))(state.d_params),
+                jax.jit(jax.grad(g_fn))(state.g_params))
+
+    dg_ref, gg_ref = grads(False, None)
+    dg_pk, gg_pk = grads(True, "mid")
+
+    for tree_pk, tree_ref in ((dg_pk, dg_ref), (gg_pk, gg_ref)):
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(tree_pk),
+            jax.tree_util.tree_leaves_with_path(tree_ref),
+        ):
+            assert pa == pb
+            name = jax.tree_util.keystr(pa)
+            a, b = np.asarray(a), np.asarray(b)
+            if np.linalg.norm(a) == 0 and np.linalg.norm(b) == 0:
+                continue  # leaf inactive at this (stage, alpha): no gradient
+            # Worst case observed: the earliest (deepest-chained) 16-element
+            # bias at cos ~0.998 — legitimate accumulation of the per-dot
+            # rounding across every downstream packed stage. A systematic
+            # gradient error (wrong sign, scale, or tap) lands far below.
+            assert _cos(a, b) > 0.995, f"{name}: cos={_cos(a, b)}"
+            norm_ratio = np.linalg.norm(a) / (np.linalg.norm(b) + 1e-30)
+            assert 0.95 < norm_ratio < 1.05, f"{name}: ratio={norm_ratio}"
+
+
 def test_wgrad_kernel_matches_xla_correlation():
     """packed_conv_wgrad alone vs the XLA wgrad of the same SAME conv."""
     p, b, c, cout, h, w = 4, 2, 8, 8, 16, 32
