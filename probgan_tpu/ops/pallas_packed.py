@@ -54,6 +54,15 @@ Precision modes (matching models/pro_gan.py's MXU ladder):
              models/pro_gan._PACKED_MODES; end-to-end >= 50 dB verified by
              benchmarks/packed_psnr.py)
 - "default": fp32 operands, Precision.DEFAULT (1 bf16 pass)
+- "emulate_bf16": TEST-ONLY portable model of "default"'s TPU arithmetic —
+             both operands explicitly rounded to bf16, one HIGHEST-precision
+             dot with fp32 accumulation. On TPU this computes what "default"
+             computes (the MXU rounds operands to bf16 and accumulates
+             fp32); on the CPU interpret backend — where "default"'s dots
+             are EXACT fp32, making any default-mode PSNR test vacuous — it
+             reproduces the TPU rounding, so the fast serving grade's
+             >= 50 dB margin is regression-testable without a chip
+             (tests/test_pallas_packed.py). The ladder never maps to it.
 
 The ops fused here are the reference-free north-star image family
 (SURVEY.md §0.2); the numerical contracts are models/pro_gan.py's
@@ -73,7 +82,7 @@ LRELU_SLOPE = 0.2
 _PIXELNORM_EPS = 1e-8
 _NSLOT = 4  # revolver slots: 3 resident panels + 1 in flight
 
-VALID_MODES = ("highest", "exact6", "high", "mid", "default")
+VALID_MODES = ("highest", "exact6", "high", "mid", "default", "emulate_bf16")
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +129,11 @@ def stack_weights(wk: jax.Array, mode: str) -> jax.Array:
     if mode == "exact6":
         hi, mid, lo = _hi_mid_lo(wk)
         return jnp.concatenate([hi, hi, mid, hi, lo, mid], axis=0)
+    if mode == "emulate_bf16":
+        # Portable model of "default": operand rounded to bf16 host-side,
+        # the dot itself runs exact (see _dot) — w_bf16 · x_bf16 with fp32
+        # accumulation, i.e. the TPU MXU's 1-pass arithmetic.
+        return _hilo(wk)[0]
     return wk
 
 
@@ -133,14 +147,21 @@ def _stack_x(x_all: jax.Array, mode: str) -> jax.Array:
     if mode == "exact6":
         hi, mid, lo = _hi_mid_lo(x_all)
         return jnp.concatenate([hi, mid, hi, lo, hi, mid], axis=0)
+    if mode == "emulate_bf16":
+        return _hilo(x_all)[0]
     return x_all
 
 
 def _dot(wk: jax.Array, x_all: jax.Array, mode: str) -> jax.Array:
     """[K*, Cout]ᵀ-style contraction: (wk, x_all[K, W]) -> [Cout, W] fp32."""
     xk = _stack_x(x_all, mode)
+    # "emulate_bf16" needs an EXACT dot over its pre-rounded bf16 operands
+    # (a DEFAULT-precision dot would round them a second time on hardware
+    # paths that re-round, and on CPU it is exact anyway).
     precision = (
-        jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
+        jax.lax.Precision.HIGHEST
+        if mode in ("highest", "emulate_bf16")
+        else jax.lax.Precision.DEFAULT
     )
     return jax.lax.dot_general(
         wk,
