@@ -311,6 +311,12 @@ def run_bench(partial: dict) -> None:
         result["fast_grade_vs_baseline"] = (
             round(fast_ips / cpu_ips, 2) if cpu_ips > 0 else None
         )
+        # Same ideal-traffic model as the headline (VERDICT r3 #3 asks for
+        # the fast grade's utilization too — it is the grade where the chip
+        # stops being MXU-pass-bound and bandwidth starts to matter).
+        result["fast_grade_hbm_bw_util"] = round(
+            fast_ips * bytes_per_img / 819e9, 3
+        )
     print(json.dumps(result))
 
 

@@ -119,6 +119,21 @@ def resolve_precision(precision):
     return _PRECISIONS[precision] if isinstance(precision, (str, type(None))) else precision
 
 
+def _maybe_emulate_bf16(x: jax.Array, w: jax.Array, precision):
+    """Resolve the TEST-ONLY "emulate_bf16" precision sentinel for the XLA
+    conv/dense path: round both operands to bf16 and run the op exact with
+    fp32 accumulation — the TPU MXU's 1-pass DEFAULT arithmetic, portable to
+    CPU (where Precision.DEFAULT is exact fp32 and any bf16-sensitivity
+    measurement would be vacuous). Mirrors ops/pallas_packed.py's
+    "emulate_bf16" kernel mode; the serving/training ladders never map to
+    it — it exists for CPU PSNR regression tests and the per-stage error
+    budget study (benchmarks/stage_error_budget.py)."""
+    if precision == "emulate_bf16":
+        rnd = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+        return rnd(x), rnd(w), jax.lax.Precision.HIGHEST
+    return x, w, resolve_precision(precision)
+
+
 def eq_conv(
     params: dict, x: jax.Array, gain: float = math.sqrt(2.0), precision=None
 ) -> jax.Array:
@@ -127,13 +142,14 @@ def eq_conv(
     kh, kw, cin, _ = w.shape
     scale = _he_scale(kh * kw * cin, gain)
     w = (w * scale).astype(x.dtype)
+    x_op, w, prec = _maybe_emulate_bf16(x, w, precision)
     out = jax.lax.conv_general_dilated(
-        x,
+        x_op,
         w,
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=resolve_precision(precision),
+        precision=prec,
     )
     return out + params["b"].astype(x.dtype)
 
@@ -143,10 +159,8 @@ def eq_dense(
 ) -> jax.Array:
     w = params["w"]
     scale = _he_scale(w.shape[0], gain)
-    return (
-        jnp.matmul(x, (w * scale).astype(x.dtype), precision=resolve_precision(precision))
-        + params["b"].astype(x.dtype)
-    )
+    x_op, w_op, prec = _maybe_emulate_bf16(x, (w * scale).astype(x.dtype), precision)
+    return jnp.matmul(x_op, w_op, precision=prec) + params["b"].astype(x.dtype)
 
 
 def lrelu(x: jax.Array) -> jax.Array:
@@ -229,9 +243,13 @@ def _g_block(block: dict, x: jax.Array, precision=None) -> jax.Array:
         w = block["conv1"]["w"]
         kh, kw, cin, _ = w.shape
         scale = _he_scale(kh * kw * cin)
+        # emulate_bf16 rounds the PRE-SUMMED weights — faithful to what the
+        # MXU sees on this fused path, where tap pre-summing happens in fp32
+        # upstream of the dot's operand rounding.
+        x_op, w_op, prec = _maybe_emulate_bf16(x, w * scale, precision)
         x = upsample2x_conv3x3(
-            (w * scale), block["conv1"]["b"], x,
-            precision=resolve_precision(precision),
+            w_op, block["conv1"]["b"], x_op,
+            precision=prec,
         )
         x = pixel_norm(lrelu(checkpoint_name(x, "conv_out")))
     else:

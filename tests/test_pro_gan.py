@@ -1,6 +1,7 @@
 """Progressive image GAN tests: shapes, blend semantics, uint8 output, and
 fp32 pixel parity against the torch CPU reference (PSNR > 50 dB, BASELINE.md).
 """
+import os
 
 import jax
 import jax.numpy as jnp
@@ -169,3 +170,31 @@ def test_generator_same_with_and_without_fusion(g_params, monkeypatch):
     monkeypatch.setenv("PROBGAN_FUSE_UPCONV", "1")
     fused = np.asarray(pro_gan.generator_rgb(g_params, z, CFG, 3, 0.7))
     np.testing.assert_allclose(fused, unfused, atol=2e-5)
+
+
+def test_emulate_bf16_precision_sentinel(g_params):
+    """The test-only "emulate_bf16" precision (models/pro_gan.
+    _maybe_emulate_bf16) engages on the XLA conv/dense path: the render
+    must differ from fp32 (bf16 rounding active — on CPU a plain DEFAULT
+    render is exact fp32 and indistinguishable) but stay within the
+    bf16-arithmetic error class, and both fused/unfused upconv paths must
+    honor it. The serving/training ladders never map to this sentinel."""
+    assert "emulate_bf16" not in pro_gan._PRECISIONS
+    assert all(v != "emulate_bf16" for v in pro_gan._PACKED_MODES.values())
+    z = jax.random.normal(jax.random.key(11), (2, CFG.latent_dim))
+    exact = np.asarray(
+        pro_gan.generator_rgb(g_params, z, CFG, 3, 0.7, precision="highest")
+    ).astype(np.float64)
+    for fuse in ("0", "1"):
+        os.environ["PROBGAN_FUSE_UPCONV"] = fuse
+        try:
+            emul = np.asarray(
+                pro_gan.generator_rgb(g_params, z, CFG, 3, 0.7,
+                                      precision="emulate_bf16")
+            ).astype(np.float64)
+        finally:
+            del os.environ["PROBGAN_FUSE_UPCONV"]
+        err = np.abs(emul - exact)
+        scale = np.abs(exact).max()
+        assert err.max() > 1e-6 * scale, f"fuse={fuse}: emulation inactive"
+        assert err.max() < 0.1 * scale, f"fuse={fuse}: error beyond bf16 class"
