@@ -250,7 +250,8 @@ def main() -> None:
             rng.standard_normal((tb, cfg.latent_dim)), jnp.float32
         )
 
-        def time_train(step_dtype, packed_d=False, packed_g=False):
+        def time_train(step_dtype, packed_d=False, packed_g=False,
+                       mode="default"):
             """(first-call s, steady min s, final d_loss) at step_dtype."""
             with jax.default_device(jax.devices("cpu")[0]):
                 state = train_engine.progan_init_state(
@@ -261,7 +262,7 @@ def main() -> None:
             state, metrics = train_engine.progan_train_step(
                 state, imgs_t, z_t, jnp.float32(1.0), cfg, stage, 1e-3,
                 step_dtype, packed_fake=use_pallas_packed, packed_d=packed_d,
-                packed_g=packed_g,
+                packed_g=packed_g, packed_train_mode=mode,
             )
             float(metrics["d_loss"])  # hard sync
             first_s = time.perf_counter() - t0
@@ -274,6 +275,7 @@ def main() -> None:
                     state, imgs_t, z_t, jnp.float32(1.0), cfg, stage, 1e-3,
                     step_dtype, packed_fake=use_pallas_packed,
                     packed_d=packed_d, packed_g=packed_g,
+                    packed_train_mode=mode,
                 )
                 float(metrics["d_loss"])
                 steady.append(time.perf_counter() - t1)
@@ -290,6 +292,11 @@ def main() -> None:
         # --packed_g on top: the generator's late-stage convs too.
         _, steady_pkdg_s, _ = time_train(jnp.bfloat16, packed_d=True,
                                          packed_g=True)
+        # --packed_mode mid: the 2-term split grade (weight-rounding error
+        # removed; ~1.5 MXU passes per dot) on the same packed_dg step —
+        # the cost of one grade up from the 1-pass "default" train grade.
+        _, steady_pkdg_mid_s, _ = time_train(jnp.bfloat16, packed_d=True,
+                                             packed_g=True, mode="mid")
         emit({
             "config": 5, "name": "1024x1024_full_stack",
             "value": round(gen_ips, 3), "unit": "images/sec",
@@ -299,6 +306,8 @@ def main() -> None:
             "train_step_steady_bf16_s": round(steady_bf16_s, 3),
             "train_step_steady_bf16_packed_d_s": round(steady_pkd_s, 3),
             "train_step_steady_bf16_packed_dg_s": round(steady_pkdg_s, 3),
+            "train_step_steady_bf16_packed_dg_mid_s": round(
+                steady_pkdg_mid_s, 3),
             "train_batch": tb,
             "d_loss": round(d_loss, 4),
         })
