@@ -282,6 +282,29 @@ def test_image_trainer_resume(tmp_path, capsys):
     assert "Stage 0" not in out
 
 
+def test_image_trainer_fast_preset(tmp_path, capsys):
+    """--fast (the production training preset) implies --bf16 --packed_d
+    --packed_g and trains end-to-end to a loadable checkpoint — the flag
+    group VERDICT r3 #4 asked to package, exercised on the tiny CPU
+    schedule (packed kernels interpret; bf16 step dtype is real)."""
+    from probgan_tpu.cli.train_image import build_parser, main as image_main
+
+    out_dir = str(tmp_path / "img_fast")
+    rc = image_main([
+        "--synthetic", "8", "--resolution", "16", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "1",
+        "--batch_size", "4", "--device", "cpu", "--output_dir", out_dir,
+        "--fast",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Training complete!" in out
+    assert os.path.exists(os.path.join(out_dir, "image_checkpoint.msgpack"))
+    # the preset flag itself parses alongside an explicit grade override
+    args = build_parser().parse_args(["--fast", "--packed_mode", "mid"])
+    assert args.fast and args.packed_mode == "mid"
+
+
 def test_kg_eval_hits_chunking_equivalence():
     """Chunked eval (as the trainer runs it) must equal one unchunked call."""
     import jax.numpy as jnp
