@@ -146,6 +146,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "(full state incl. optimizer; written every epoch)")
     parser.add_argument("--device", type=str, default="auto",
                         choices=["auto", "tpu", "cuda", "cpu"])
+    parser.add_argument("--mesh", type=str, default="",
+                        help="Multi-device training over a (data, model) "
+                        "mesh: 'auto' (all attached devices) or a device "
+                        "count. The entity table and its Adam moments "
+                        "row-shard over the model axis, batches shard over "
+                        "the data axis, and the jitted step partitions via "
+                        "GSPMD with XLA collectives over ICI "
+                        "(parallel/dp_train.shard_kg_state).")
     return parser
 
 
@@ -193,6 +201,17 @@ def main(argv: list[str] | None = None) -> int:
     print(f"Data root: {args.data_root}")
     print(f"Device: {device_str(device)}")
 
+    mesh = None
+    if args.mesh:
+        from probgan_tpu.parallel import resolve_mesh
+
+        mesh = resolve_mesh(args.mesh)
+    if mesh is not None:
+        print(
+            f"Mesh: {mesh.devices.size} devices {dict(mesh.shape)} — "
+            "entity-table TP + batch DP"
+        )
+
     train, valid, num_entities, num_relations, vocab = load_triplets(
         args.data_root, args.debug
     )
@@ -221,7 +240,16 @@ def main(argv: list[str] | None = None) -> int:
                 args.hidden_dim,
                 args.lr,
             )
-        state = jax.device_put(state, device)
+        if mesh is not None:
+            from probgan_tpu.parallel.dp_train import (
+                kg_batch_sharding, shard_kg_state,
+            )
+
+            state = shard_kg_state(mesh, state)
+            batch_sharding = kg_batch_sharding(mesh)
+        else:
+            state = jax.device_put(state, device)
+            batch_sharding = None
 
         from probgan_tpu.core.train_state import load_train_state, save_train_state
 
@@ -231,7 +259,10 @@ def main(argv: list[str] | None = None) -> int:
         train_state_path = os.path.join(args.output_dir, "train_state.msgpack")
         if args.resume and os.path.exists(train_state_path):
             state, meta = load_train_state(train_state_path, state)
-            state = jax.device_put(state, device)
+            if mesh is not None:
+                state = shard_kg_state(mesh, state)
+            else:
+                state = jax.device_put(state, device)
             history = {k: list(v) for k, v in meta["history"].items()}
             best_hit10 = float(meta["best_hit10"])
             best_epoch = int(meta["best_epoch"])
@@ -303,6 +334,8 @@ def main(argv: list[str] | None = None) -> int:
             for step in range(steps_per_epoch):
                 idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
                 batch = jnp.asarray(train[idx])
+                if batch_sharding is not None:
+                    batch = jax.device_put(batch, batch_sharding)
                 # Global-step derivation: unique for every (epoch, step) —
                 # epoch*CONST+step collides across epochs once step > CONST.
                 global_step = (epoch - 1) * steps_per_epoch + step
@@ -315,6 +348,8 @@ def main(argv: list[str] | None = None) -> int:
                     native.sample_negatives(nb, num_entities, 2 * global_step),
                     native.sample_negatives(nb, num_relations, 2 * global_step + 1),
                 ], axis=1))
+                if batch_sharding is not None:
+                    negatives = jax.device_put(negatives, batch_sharding)
                 ce_ids = (
                     jnp.asarray(native.sample_negatives(
                         ce_neg, num_entities, 0x5EED0000 + global_step

@@ -108,6 +108,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
                         "full 256² and 1024² schedules — see "
                         "docs/TRAINING.md and benchmarks/RESULTS.md)")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="Data-parallel training over a device mesh: "
+                        "'auto' (all attached devices) or a device count. "
+                        "Params/optimizer replicate, the batch shards, "
+                        "gradients pmean over ICI; the packed Pallas "
+                        "kernels run per-device under shard_map, so --fast "
+                        "composes. Batch size must divide the device count. "
+                        "Math matches single-device training on the same "
+                        "global batch (parallel/dp_train.py), so "
+                        "checkpoints/--resume interchange freely.")
     return parser
 
 
@@ -141,6 +151,23 @@ def main(argv: list[str] | None = None) -> int:
     print("Prot-B-GAN image training...")
     print(f"Device: {device_str(device)}")
 
+    mesh = None
+    if args.mesh:
+        from probgan_tpu.parallel import resolve_mesh
+
+        mesh = resolve_mesh(args.mesh)
+    if mesh is not None:
+        if args.batch_size % mesh.devices.size != 0:
+            print(
+                f"Error: --batch_size {args.batch_size} must be divisible "
+                f"by the mesh's {mesh.devices.size} devices"
+            )
+            return 1
+        print(
+            f"Mesh: {mesh.devices.size} devices "
+            f"{dict(mesh.shape)} — data-parallel training"
+        )
+
     if args.synthetic > 0:
         raw = synthetic_images(args.synthetic, args.resolution, args.seed)
         print(f"  - Synthetic dataset: {len(raw)} images @ {args.resolution}²")
@@ -168,7 +195,12 @@ def main(argv: list[str] | None = None) -> int:
 
     with jax.default_device(jax.devices("cpu")[0]):
         state = train_engine.progan_init_state(jax.random.key(args.seed), config, args.lr)
-    state = jax.device_put(state, device)
+    if mesh is not None:
+        from probgan_tpu.parallel.dp_train import replicate_state
+
+        state = replicate_state(mesh, state)
+    else:
+        state = jax.device_put(state, device)
 
     os.makedirs(args.output_dir, exist_ok=True)
     ckpt_path = os.path.join(args.output_dir, "image_checkpoint.msgpack")
@@ -181,7 +213,12 @@ def main(argv: list[str] | None = None) -> int:
         state, meta = load_train_state(
             train_state_path, state, alias_missing={"g_ema": "g_params"}
         )
-        state = jax.device_put(state, device)
+        if mesh is not None:
+            from probgan_tpu.parallel.dp_train import replicate_state
+
+            state = replicate_state(mesh, state)
+        else:
+            state = jax.device_put(state, device)
         history = {k: list(v) for k, v in meta["history"].items()}
         start_stage = int(meta["stage"]) + 1
         print(f"Resumed after stage {meta['stage']} (next: stage {start_stage})")
@@ -228,9 +265,7 @@ def main(argv: list[str] | None = None) -> int:
                     (stage * 1000 + epoch) * 100003 + step,
                 )
                 z = jax.random.normal(zkey, (args.batch_size, config.latent_dim))
-                state, metrics = train_engine.progan_train_step(
-                    state, batch, z, jnp.float32(alpha), config, stage,
-                    args.lr,
+                step_kwargs = dict(
                     dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                     ema_beta=args.ema_beta,
                     packed_fake=packed_fake,
@@ -238,6 +273,20 @@ def main(argv: list[str] | None = None) -> int:
                     packed_g=args.packed_g,
                     packed_train_mode=args.packed_mode,
                 )
+                if mesh is not None:
+                    from probgan_tpu.parallel.dp_train import (
+                        dp_progan_train_step,
+                    )
+
+                    state, metrics = dp_progan_train_step(
+                        mesh, state, batch, z, alpha, config, stage,
+                        args.lr, **step_kwargs,
+                    )
+                else:
+                    state, metrics = train_engine.progan_train_step(
+                        state, batch, z, jnp.float32(alpha), config, stage,
+                        args.lr, **step_kwargs,
+                    )
                 d_sum = d_sum + metrics["d_loss"]
                 g_sum = g_sum + metrics["g_loss"]
                 if args.verbose:

@@ -75,7 +75,7 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
                      "packed_fake", "remat", "packed_d", "packed_g",
-                     "packed_train_mode"),
+                     "packed_train_mode", "axis_names"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -92,6 +92,7 @@ def progan_train_step(
     packed_d: bool = False,
     packed_g: bool = False,
     packed_train_mode: str = "default",
+    axis_names: tuple | None = None,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -130,10 +131,25 @@ def progan_train_step(
     hi/lo split: weight rounding removed, ~2^-9 relative/dot), or "high"
     (3-pass fp32 emulation). The custom VJPs propagate the mode to both
     backward convs; wgrad promotes split modes to HIGHEST
-    (ops/packed_vjp.py). Ignored on the XLA path."""
+    (ops/packed_vjp.py). Ignored on the XLA path.
+
+    ``axis_names``: set when this step runs INSIDE ``jax.shard_map`` with the
+    batch sharded over the named mesh axes (parallel/dp_train.py). Gradients
+    and reported metrics are pmean'd over the axes — with equal shard sizes
+    that is exactly the gradient of the global-batch loss — and the
+    discriminator's minibatch-stddev statistics are computed over the GLOBAL
+    batch, so the math matches single-device training on the concatenated
+    batch. Per-shard optimizer updates are then identical, keeping params
+    replicated without any explicit broadcast. None (the default) is the
+    single-device/GSPMD path, where XLA inserts any needed collectives
+    itself."""
     opt = progan_optimizer(lr)
     _d_train_mode = packed_train_mode
     _g_train_mode = packed_train_mode if packed_g else None
+    _pmean = (
+        (lambda t: jax.lax.pmean(t, axis_names))
+        if axis_names is not None else (lambda t: t)
+    )
 
     def d_loss_fn(d_params):
         fake = pro_gan.generator_rgb(
@@ -147,11 +163,13 @@ def progan_train_step(
         real_logits = pro_gan.discriminator_apply(
             d_params, real_images, config, stage, alpha, dtype, remat=remat,
             packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
         ).astype(jnp.float32)
         fake_logits = pro_gan.discriminator_apply(
             d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
             remat=remat,
             packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
         ).astype(jnp.float32)
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
@@ -159,6 +177,8 @@ def progan_train_step(
     (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
         d_loss_fn, has_aux=True
     )(state.d_params)
+    d_grads = _pmean(d_grads)
+    d_loss, real_mean, fake_mean = _pmean((d_loss, real_mean, fake_mean))
     d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
@@ -170,10 +190,13 @@ def progan_train_step(
         fake_logits = pro_gan.discriminator_apply(
             d_params, fake, config, stage, alpha, dtype, remat=remat,
             packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
         ).astype(jnp.float32)
         return jnp.mean(_softplus(-fake_logits))
 
     g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+    g_grads = _pmean(g_grads)
+    g_loss = _pmean(g_loss)
     g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
     if ema_beta == 0.0:  # static: EMA disabled — alias, don't materialize

@@ -9,3 +9,6 @@ from probgan_tpu.parallel.mesh import make_mesh, resolve_mesh
 from probgan_tpu.parallel.sharded_rank import sharded_rank_topk
 
 __all__ = ["make_mesh", "resolve_mesh", "sharded_rank_topk"]
+# dp_train / sharded_image import the engine (jit-decorated steps); they are
+# imported lazily at their call sites to keep `import probgan_tpu.parallel`
+# light for CLI --help paths.

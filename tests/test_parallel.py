@@ -273,3 +273,109 @@ def test_engine_mesh_score_and_latent_walk_match_single_device():
     assert walk_m.shape == walk_s.shape == (12, 16, 16, 3)
     diff = np.abs(walk_m.astype(np.int32) - walk_s.astype(np.int32))
     assert diff.max() <= 1  # uint8 knife-edge pixels may differ by 1
+
+
+def test_dp_train_step_matches_single_device():
+    """One data-parallel ProGAN train step over the full 8-device mesh must
+    match the single-device step on the same global batch: pmean'd per-shard
+    gradients == global-batch gradient (equal shards), global minibatch
+    stddev, identical replicated updates. Chains a second step to prove the
+    returned state stays replicated and consumable."""
+    from probgan_tpu.engine import train as train_engine
+    from probgan_tpu.models import pro_gan
+    from probgan_tpu.parallel.dp_train import (
+        dp_progan_train_step, replicate_state,
+    )
+
+    cfg = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    stage = cfg.num_stages - 1
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.standard_normal((16, 16, 16, 3)) * 0.5, jnp.float32)
+    z = jnp.asarray(rng.standard_normal((16, cfg.latent_dim)), jnp.float32)
+
+    state0 = train_engine.progan_init_state(jax.random.key(1), cfg)
+    s_ref, m_ref = train_engine.progan_train_step(
+        state0, real, z, jnp.float32(0.7), cfg, stage, 1e-3
+    )
+
+    mesh = make_mesh(8)
+    s_dp, m_dp = dp_progan_train_step(
+        mesh, replicate_state(mesh, state0), real, z, 0.7, cfg, stage, 1e-3
+    )
+    assert abs(float(m_ref["d_loss"]) - float(m_dp["d_loss"])) < 1e-5
+    assert abs(float(m_ref["g_loss"]) - float(m_dp["g_loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s_ref.g_params),
+                    jax.tree.leaves(s_dp.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+    for a, b in zip(jax.tree.leaves(s_ref.d_params),
+                    jax.tree.leaves(s_dp.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    s_dp2, m_dp2 = dp_progan_train_step(
+        mesh, s_dp, real, z, 0.7, cfg, stage, 1e-3
+    )
+    assert np.isfinite(float(m_dp2["d_loss"]))
+
+
+def test_dp_train_step_rejects_indivisible_batch():
+    from probgan_tpu.engine import train as train_engine
+    from probgan_tpu.models import pro_gan
+    from probgan_tpu.parallel.dp_train import (
+        dp_progan_train_step, replicate_state,
+    )
+
+    cfg = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64,
+                               fmap_max=16)
+    mesh = make_mesh(8)
+    state = replicate_state(
+        mesh, train_engine.progan_init_state(jax.random.key(0), cfg)
+    )
+    real = jnp.zeros((6, 8, 8, 3), jnp.float32)
+    z = jnp.zeros((6, cfg.latent_dim), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        dp_progan_train_step(
+            mesh, state, real, z, 1.0, cfg, cfg.num_stages - 1
+        )
+
+
+def test_shard_kg_state_places_table_and_moments():
+    """The entity table AND its Adam moments (same [N, D] shape inside
+    g_opt) row-shard over the model axis; everything else replicates."""
+    from probgan_tpu.engine import train as train_engine
+    from probgan_tpu.parallel.dp_train import shard_kg_state
+
+    mesh = make_mesh(8, model_parallelism=4)
+    state = train_engine.kg_init_state(
+        jax.random.key(0), num_entities=64, num_relations=4,
+        embed_dim=16, noise_dim=8, hidden_dim=32,
+    )
+    sharded = shard_kg_state(mesh, state)
+
+    def spec_of(x):
+        return x.sharding.spec
+
+    from jax.sharding import PartitionSpec as P
+
+    assert spec_of(sharded.node_emb) == P("model", None)
+    assert spec_of(sharded.rel_emb) == P()
+    n_table_sharded = sum(
+        1 for leaf in jax.tree.leaves(sharded.g_opt)
+        if getattr(leaf, "ndim", 0) == 2 and leaf.shape[0] == 64
+        and leaf.sharding.spec == P("model", None)
+    )
+    assert n_table_sharded >= 2  # adam mu + nu for the table
+
+    # the sharded state trains: one step, finite losses, shardings preserved
+    trips = jnp.asarray(
+        np.random.RandomState(0).randint(0, [64, 4, 64], size=(16, 3)),
+        jnp.int32,
+    )
+    from probgan_tpu.parallel.dp_train import kg_batch_sharding
+
+    trips = jax.device_put(trips, kg_batch_sharding(mesh))
+    new_state, metrics = train_engine.kg_train_step(
+        sharded, trips, jax.random.key(1)
+    )
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert new_state.node_emb.sharding.spec == P("model", None)

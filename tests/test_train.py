@@ -640,3 +640,58 @@ def test_bf16_train_loss_curve_matches_fp32():
     diff = np.abs(np.asarray(curves[jnp.float32]) -
                   np.asarray(curves[jnp.bfloat16]))
     assert diff.max() < 0.1, curves
+
+
+def test_image_trainer_mesh(tmp_path, capsys):
+    """--mesh trains data-parallel over the 8-device CPU mesh end-to-end and
+    the checkpoint interchanges with single-device --resume (replicated
+    updates == single-device math, parallel/dp_train.py)."""
+    from probgan_tpu.cli.train_image import main as image_main
+
+    out_dir = str(tmp_path / "img_mesh")
+    common = [
+        "--synthetic", "8", "--resolution", "16", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "1",
+        "--batch_size", "8", "--output_dir", out_dir,
+    ]
+    assert image_main(common + ["--mesh", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "Mesh: 8 devices" in out and "Training complete!" in out
+    assert os.path.exists(os.path.join(out_dir, "image_checkpoint.msgpack"))
+
+    # resume WITHOUT the mesh: states interchange freely
+    assert image_main(common + ["--resume"]) == 0
+    assert "Resumed after stage 2" in capsys.readouterr().out
+
+
+def test_image_trainer_mesh_rejects_bad_batch(tmp_path, capsys):
+    from probgan_tpu.cli.train_image import main as image_main
+
+    rc = image_main([
+        "--synthetic", "8", "--resolution", "8", "--batch_size", "6",
+        "--mesh", "8", "--output_dir", str(tmp_path / "x"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "divisible" in out
+
+
+def test_kg_trainer_mesh(tiny_dataset, tmp_path, capsys):
+    """--mesh shards the entity table (TP) + batches (DP) through the same
+    trainer loop; resume interchanges with the single-device path."""
+    from probgan_tpu.cli.train import main as train_main
+
+    out_dir = str(tmp_path / "kg_mesh")
+    common = [
+        "--data_root", tiny_dataset, "--batch_size", "32",
+        "--embed_dim", "16", "--noise_dim", "8", "--hidden_dim", "32",
+        "--output_dir", out_dir, "--checkpoint_format", "native",
+    ]
+    assert train_main(common + ["--epochs", "2", "--mesh", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "Mesh: 8 devices" in out
+    assert "Epoch 2/2" in out and "Training complete!" in out
+
+    assert train_main(common + ["--epochs", "3", "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "Resumed from epoch 2" in out and "Epoch 3/3" in out
