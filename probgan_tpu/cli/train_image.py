@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
                         "full 256² and 1024² schedules — see "
                         "docs/TRAINING.md and benchmarks/RESULTS.md)")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Gradient accumulation: average N microbatches "
+                        "of --batch_size under one optimizer update "
+                        "(lax.scan — peak memory stays one microbatch). "
+                        "Effective batch = N * batch_size; the use case is "
+                        "HBM-bound resolutions (1024² fits batch 2). "
+                        "Minibatch-stddev statistics are per-microbatch.")
     parser.add_argument("--mesh", type=str, default="",
                         help="Data-parallel training over a device mesh: "
                         "'auto' (all attached devices) or a device count. "
@@ -231,17 +238,24 @@ def main(argv: list[str] | None = None) -> int:
 
     packed_fake = packed_default()
 
+    accum = max(1, args.grad_accum)
+    if accum > 1 and mesh is not None:
+        print("Error: --grad_accum and --mesh are not composable yet; "
+              "use a larger per-device batch on the mesh instead")
+        return 1
     n = len(real_full)
-    if n < args.batch_size:
+    consume = args.batch_size * accum
+    if n < consume:
         # Erroring beats the silent alternative: with n < batch_size every
         # epoch would skip its only (short) batch and log losses of 0.0 as if
         # training had happened.
         print(
-            f"Error: dataset has {n} images but --batch_size is "
-            f"{args.batch_size}; use --batch_size <= {n}"
+            f"Error: dataset has {n} images but each optimizer step needs "
+            f"{consume} (--batch_size {args.batch_size} x --grad_accum "
+            f"{accum}); reduce one of them"
         )
         return 1
-    steps_per_epoch = max(1, n // args.batch_size)
+    steps_per_epoch = max(1, n // consume)
     fade_epochs = max(1, args.epochs_per_stage // 2)
 
     for stage in range(start_stage, config.num_stages):
@@ -256,15 +270,15 @@ def main(argv: list[str] | None = None) -> int:
             g_sum = jnp.float32(0.0)
             perm = rng.permutation(n)
             for step in range(steps_per_epoch):
-                idx = perm[step * args.batch_size : (step + 1) * args.batch_size]
-                if len(idx) < args.batch_size:
+                idx = perm[step * consume : (step + 1) * consume]
+                if len(idx) < consume:
                     break
                 batch = jnp.asarray(reals[idx])
                 zkey = jax.random.fold_in(
                     jax.random.key(args.seed + 1),
                     (stage * 1000 + epoch) * 100003 + step,
                 )
-                z = jax.random.normal(zkey, (args.batch_size, config.latent_dim))
+                z = jax.random.normal(zkey, (consume, config.latent_dim))
                 step_kwargs = dict(
                     dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                     ema_beta=args.ema_beta,
@@ -281,6 +295,14 @@ def main(argv: list[str] | None = None) -> int:
                     state, metrics = dp_progan_train_step(
                         mesh, state, batch, z, alpha, config, stage,
                         args.lr, **step_kwargs,
+                    )
+                elif accum > 1:
+                    state, metrics = train_engine.progan_train_step_accum(
+                        state,
+                        batch.reshape(accum, args.batch_size, *batch.shape[1:]),
+                        z.reshape(accum, args.batch_size, -1),
+                        jnp.float32(alpha), config, stage, args.lr,
+                        **step_kwargs,
                     )
                 else:
                     state, metrics = train_engine.progan_train_step(

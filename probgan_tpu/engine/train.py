@@ -71,6 +71,56 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
     )
 
 
+def _progan_loss_fns(g_ref_params, config, stage, alpha, dtype, packed_fake,
+                     remat, packed_d, packed_g, packed_train_mode,
+                     axis_names):
+    """The two loss closures both step variants differentiate.
+
+    ``d_loss_fn(d_params, real, z)``: non-saturating D loss; the fake batch
+    renders from ``g_ref_params`` (captured — constant w.r.t. d_params).
+    ``g_loss_fn(g_params, d_params, z)``: the fool-D generator loss against
+    the given (already-updated) discriminator."""
+    _d_train_mode = packed_train_mode
+    _g_train_mode = packed_train_mode if packed_g else None
+
+    def d_loss_fn(d_params, real_images, z):
+        fake = pro_gan.generator_rgb(
+            g_ref_params, z, config, stage, alpha, dtype,
+            packed=packed_fake, packed_mode=_g_train_mode,
+        )
+        # Logits promote to fp32 before the loss math: with dtype=bfloat16
+        # the convs run bf16 on the MXU but the softplus/mean (and therefore
+        # the loss scale driving the gradients) stays fp32 — the standard
+        # mixed-precision recipe. No-op for fp32 training.
+        real_logits = pro_gan.discriminator_apply(
+            d_params, real_images, config, stage, alpha, dtype, remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
+        ).astype(jnp.float32)
+        fake_logits = pro_gan.discriminator_apply(
+            d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
+            remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
+        ).astype(jnp.float32)
+        loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
+        return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
+
+    def g_loss_fn(g_params, d_params, z):
+        fake = pro_gan.generator_rgb(
+            g_params, z, config, stage, alpha, dtype, remat=remat,
+            packed_mode=_g_train_mode,
+        )
+        fake_logits = pro_gan.discriminator_apply(
+            d_params, fake, config, stage, alpha, dtype, remat=remat,
+            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
+            stddev_axis=axis_names,
+        ).astype(jnp.float32)
+        return jnp.mean(_softplus(-fake_logits))
+
+    return d_loss_fn, g_loss_fn
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
@@ -144,62 +194,132 @@ def progan_train_step(
     single-device/GSPMD path, where XLA inserts any needed collectives
     itself."""
     opt = progan_optimizer(lr)
-    _d_train_mode = packed_train_mode
-    _g_train_mode = packed_train_mode if packed_g else None
     _pmean = (
         (lambda t: jax.lax.pmean(t, axis_names))
         if axis_names is not None else (lambda t: t)
     )
-
-    def d_loss_fn(d_params):
-        fake = pro_gan.generator_rgb(
-            state.g_params, z, config, stage, alpha, dtype,
-            packed=packed_fake, packed_mode=_g_train_mode,
-        )
-        # Logits promote to fp32 before the loss math: with dtype=bfloat16
-        # the convs run bf16 on the MXU but the softplus/mean (and therefore
-        # the loss scale driving the gradients) stays fp32 — the standard
-        # mixed-precision recipe. No-op for fp32 training.
-        real_logits = pro_gan.discriminator_apply(
-            d_params, real_images, config, stage, alpha, dtype, remat=remat,
-            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
-            stddev_axis=axis_names,
-        ).astype(jnp.float32)
-        fake_logits = pro_gan.discriminator_apply(
-            d_params, jax.lax.stop_gradient(fake), config, stage, alpha, dtype,
-            remat=remat,
-            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
-            stddev_axis=axis_names,
-        ).astype(jnp.float32)
-        loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
-        return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
+    d_loss_fn, g_loss_fn = _progan_loss_fns(
+        state.g_params, config, stage, alpha, dtype, packed_fake, remat,
+        packed_d, packed_g, packed_train_mode, axis_names,
+    )
 
     (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
         d_loss_fn, has_aux=True
-    )(state.d_params)
+    )(state.d_params, real_images, z)
     d_grads = _pmean(d_grads)
     d_loss, real_mean, fake_mean = _pmean((d_loss, real_mean, fake_mean))
     d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
     d_params = optax.apply_updates(state.d_params, d_updates)
 
-    def g_loss_fn(g_params):
-        fake = pro_gan.generator_rgb(
-            g_params, z, config, stage, alpha, dtype, remat=remat,
-            packed_mode=_g_train_mode,
-        )
-        fake_logits = pro_gan.discriminator_apply(
-            d_params, fake, config, stage, alpha, dtype, remat=remat,
-            packed=packed_d, packed_mode=_d_train_mode if packed_d else None,
-            stddev_axis=axis_names,
-        ).astype(jnp.float32)
-        return jnp.mean(_softplus(-fake_logits))
-
-    g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params)
+    g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state.g_params, d_params, z)
     g_grads = _pmean(g_grads)
     g_loss = _pmean(g_loss)
     g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
     if ema_beta == 0.0:  # static: EMA disabled — alias, don't materialize
+        g_ema = g_params
+    else:
+        g_ema = jax.tree.map(
+            lambda e, p: ema_beta * e + (1.0 - ema_beta) * p,
+            state.g_ema, g_params,
+        )
+
+    metrics = {
+        "d_loss": d_loss,
+        "g_loss": g_loss,
+        "real_logit": real_mean,
+        "fake_logit": fake_mean,
+    }
+    return ProGANTrainState(g_params, d_params, g_opt, d_opt, g_ema), metrics
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
+                     "packed_fake", "remat", "packed_d", "packed_g",
+                     "packed_train_mode"),
+)
+def progan_train_step_accum(
+    state: ProGANTrainState,
+    real_images: jax.Array,
+    z: jax.Array,
+    alpha: jax.Array,
+    config: pro_gan.ProGANConfig,
+    stage: int,
+    lr: float = 1e-3,
+    dtype=jnp.float32,
+    ema_beta: float = 0.999,
+    packed_fake: bool = False,
+    remat: bool = True,
+    packed_d: bool = False,
+    packed_g: bool = False,
+    packed_train_mode: str = "default",
+):
+    """progan_train_step with gradient accumulation: ``real_images`` is
+    [A, B, R, R, 3] and ``z`` is [A, B, latent_dim] — A microbatches whose
+    gradients average (lax.scan, one live microbatch of activations) before
+    each single optimizer update, giving an effective batch of A*B at the
+    peak memory of B. The use case is HBM-bound resolutions: 1024² training
+    fits batch 2 (BASELINE config 5), so large-batch dynamics need
+    accumulation rather than a bigger device batch.
+
+    Same math as one step on the concatenated A*B batch, with one
+    deliberate exception: the discriminator's minibatch-stddev statistics
+    are per-MICROBATCH (the standard accumulation trade — computing them
+    globally would need a second pass over all microbatches). Both G and D
+    see every microbatch before their one update; the D update still lands
+    before the G gradients are taken, preserving the alternating-step
+    order."""
+    opt = progan_optimizer(lr)
+    d_loss_fn, g_loss_fn = _progan_loss_fns(
+        state.g_params, config, stage, alpha, dtype, packed_fake, remat,
+        packed_d, packed_g, packed_train_mode, None,
+    )
+    n_accum = real_images.shape[0]
+    zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)
+
+    def d_micro(acc, mb):
+        real_mb, z_mb = mb
+        (loss, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, real_mb, z_mb
+        )
+        g_acc, l_acc, a_acc = acc
+        return (
+            jax.tree.map(jnp.add, g_acc, grads),
+            l_acc + loss,
+            (a_acc[0] + aux[0], a_acc[1] + aux[1]),
+        ), None
+
+    (d_grads, d_loss, (real_mean, fake_mean)), _ = jax.lax.scan(
+        d_micro,
+        (zeros_d, jnp.float32(0.0), (jnp.float32(0.0), jnp.float32(0.0))),
+        (real_images, z),
+    )
+    inv = 1.0 / n_accum
+    d_grads = jax.tree.map(lambda g: g * inv, d_grads)
+    d_loss, real_mean, fake_mean = (
+        d_loss * inv, real_mean * inv, fake_mean * inv
+    )
+    d_updates, d_opt = opt.update(d_grads, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, d_updates)
+
+    zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
+
+    def g_micro(acc, z_mb):
+        loss, grads = jax.value_and_grad(g_loss_fn)(
+            state.g_params, d_params, z_mb
+        )
+        g_acc, l_acc = acc
+        return (jax.tree.map(jnp.add, g_acc, grads), l_acc + loss), None
+
+    (g_grads, g_loss), _ = jax.lax.scan(
+        g_micro, (zeros_g, jnp.float32(0.0)), z
+    )
+    g_grads = jax.tree.map(lambda g: g * inv, g_grads)
+    g_loss = g_loss * inv
+    g_updates, g_opt = opt.update(g_grads, state.g_opt, state.g_params)
+    g_params = optax.apply_updates(state.g_params, g_updates)
+    if ema_beta == 0.0:
         g_ema = g_params
     else:
         g_ema = jax.tree.map(
