@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
                         "full 256² and 1024² schedules — see "
                         "docs/TRAINING.md and benchmarks/RESULTS.md)")
+    parser.add_argument("--mirror", action="store_true",
+                        help="Horizontal-flip augmentation: each real image "
+                        "in a batch is mirrored with probability 0.5 "
+                        "(classic progressive-GAN x-flip; doubles the "
+                        "effective dataset for free on symmetric domains)")
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="Gradient accumulation: average N microbatches "
                         "of --batch_size under one optimizer update "
@@ -273,7 +278,16 @@ def main(argv: list[str] | None = None) -> int:
                 idx = perm[step * consume : (step + 1) * consume]
                 if len(idx) < consume:
                     break
-                batch = jnp.asarray(reals[idx])
+                batch_np = reals[idx]
+                if args.mirror:
+                    # host-side x-flip on the selected rows (cheap vs the
+                    # step; keeps the jitted graph augmentation-free)
+                    flip = rng.rand(len(idx)) < 0.5
+                    batch_np = np.where(
+                        flip[:, None, None, None],
+                        batch_np[:, :, ::-1], batch_np,
+                    )
+                batch = jnp.asarray(batch_np)
                 zkey = jax.random.fold_in(
                     jax.random.key(args.seed + 1),
                     (stage * 1000 + epoch) * 100003 + step,

@@ -773,3 +773,16 @@ def test_image_trainer_grad_accum_cli(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 1 and "not composable" in out
+
+
+def test_image_trainer_mirror_augmentation(tmp_path, capsys):
+    from probgan_tpu.cli.train_image import main as image_main
+
+    out_dir = str(tmp_path / "img_mirror")
+    rc = image_main([
+        "--synthetic", "8", "--resolution", "16", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "1",
+        "--batch_size", "4", "--mirror", "--output_dir", out_dir,
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Training complete!" in out
