@@ -108,6 +108,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
                         "full 256² and 1024² schedules — see "
                         "docs/TRAINING.md and benchmarks/RESULTS.md)")
+    parser.add_argument("--r1_gamma", type=float, default=0.0,
+                        help="R1 zero-centered gradient penalty on reals "
+                        "(gamma/2 * E[||grad_x D||^2], the standard "
+                        "progressive/style-GAN D regularizer). 0 disables. "
+                        "Typical: 10. Applied lazily every --r1_every "
+                        "optimizer steps with gamma pre-scaled by the "
+                        "interval; the penalty's D pass runs on the XLA "
+                        "path (its second-order grads are outside the "
+                        "packed kernels' custom-VJP support).")
+    parser.add_argument("--r1_every", type=int, default=16,
+                        help="Lazy-R1 interval in optimizer steps")
     parser.add_argument("--mirror", action="store_true",
                         help="Horizontal-flip augmentation: each real image "
                         "in a batch is mirrored with probability 0.5 "
@@ -262,6 +273,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     steps_per_epoch = max(1, n // consume)
     fade_epochs = max(1, args.epochs_per_stage // 2)
+    opt_steps = 0  # global optimizer-step counter (lazy-R1 cadence)
 
     for stage in range(start_stage, config.num_stages):
         res = pro_gan.stage_resolution(stage)
@@ -293,6 +305,15 @@ def main(argv: list[str] | None = None) -> int:
                     (stage * 1000 + epoch) * 100003 + step,
                 )
                 z = jax.random.normal(zkey, (consume, config.latent_dim))
+                # Lazy R1: the penalty graph compiles once and runs every
+                # r1_every-th step with gamma pre-scaled by the interval
+                # (equivalent regularization strength, ~1/r1_every the cost).
+                r1_now = (
+                    args.r1_gamma * args.r1_every
+                    if args.r1_gamma > 0 and opt_steps % args.r1_every == 0
+                    else 0.0
+                )
+                opt_steps += 1
                 step_kwargs = dict(
                     dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
                     ema_beta=args.ema_beta,
@@ -300,6 +321,7 @@ def main(argv: list[str] | None = None) -> int:
                     packed_d=args.packed_d,
                     packed_g=args.packed_g,
                     packed_train_mode=args.packed_mode,
+                    r1_gamma=r1_now,
                 )
                 if mesh is not None:
                     from probgan_tpu.parallel.dp_train import (

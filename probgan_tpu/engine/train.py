@@ -73,15 +73,37 @@ def progan_init_state(key: jax.Array, config: pro_gan.ProGANConfig, lr: float = 
 
 def _progan_loss_fns(g_ref_params, config, stage, alpha, dtype, packed_fake,
                      remat, packed_d, packed_g, packed_train_mode,
-                     axis_names):
+                     axis_names, r1_gamma=0.0):
     """The two loss closures both step variants differentiate.
 
     ``d_loss_fn(d_params, real, z)``: non-saturating D loss; the fake batch
     renders from ``g_ref_params`` (captured — constant w.r.t. d_params).
     ``g_loss_fn(g_params, d_params, z)``: the fool-D generator loss against
-    the given (already-updated) discriminator."""
+    the given (already-updated) discriminator.
+
+    ``r1_gamma > 0`` adds the R1 zero-centered gradient penalty on reals
+    (gamma/2 * E[||∇_x D(x)||²], Mescheder et al. 2018 — the standard
+    progressive/style-GAN D regularizer). Differentiating it w.r.t.
+    d_params is a second-order use of D, which the packed kernels' custom
+    VJPs do not support (a custom_vjp backward is not itself
+    differentiable), so the penalty term always evaluates D through the
+    XLA path; the main loss terms keep whatever path was configured. With
+    lazy application (cli --r1_every) callers pre-scale gamma by the
+    interval, the usual convention."""
     _d_train_mode = packed_train_mode
     _g_train_mode = packed_train_mode if packed_g else None
+
+    def _r1_penalty(d_params, real_images):
+        def d_sum(imgs):
+            return jnp.sum(
+                pro_gan.discriminator_apply(
+                    d_params, imgs, config, stage, alpha, dtype,
+                    remat=remat, stddev_axis=axis_names,
+                ).astype(jnp.float32)
+            )
+
+        g = jax.grad(d_sum)(real_images.astype(jnp.float32))
+        return jnp.mean(jnp.sum(jnp.square(g), axis=(1, 2, 3)))
 
     def d_loss_fn(d_params, real_images, z):
         fake = pro_gan.generator_rgb(
@@ -104,6 +126,8 @@ def _progan_loss_fns(g_ref_params, config, stage, alpha, dtype, packed_fake,
             stddev_axis=axis_names,
         ).astype(jnp.float32)
         loss = jnp.mean(_softplus(-real_logits)) + jnp.mean(_softplus(fake_logits))
+        if r1_gamma > 0.0:
+            loss = loss + 0.5 * r1_gamma * _r1_penalty(d_params, real_images)
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits))
 
     def g_loss_fn(g_params, d_params, z):
@@ -125,7 +149,7 @@ def _progan_loss_fns(g_ref_params, config, stage, alpha, dtype, packed_fake,
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
                      "packed_fake", "remat", "packed_d", "packed_g",
-                     "packed_train_mode", "axis_names"),
+                     "packed_train_mode", "axis_names", "r1_gamma"),
 )
 def progan_train_step(
     state: ProGANTrainState,
@@ -143,6 +167,7 @@ def progan_train_step(
     packed_g: bool = False,
     packed_train_mode: str = "default",
     axis_names: tuple | None = None,
+    r1_gamma: float = 0.0,
 ):
     """One non-saturating G/D step at (stage, alpha). ``real_images`` are
     float in [-1, 1] at the stage's resolution; ``z`` is [B, latent_dim].
@@ -200,7 +225,7 @@ def progan_train_step(
     )
     d_loss_fn, g_loss_fn = _progan_loss_fns(
         state.g_params, config, stage, alpha, dtype, packed_fake, remat,
-        packed_d, packed_g, packed_train_mode, axis_names,
+        packed_d, packed_g, packed_train_mode, axis_names, r1_gamma,
     )
 
     (d_loss, (real_mean, fake_mean)), d_grads = jax.value_and_grad(
@@ -237,7 +262,7 @@ def progan_train_step(
     jax.jit,
     static_argnames=("config", "stage", "lr", "dtype", "ema_beta",
                      "packed_fake", "remat", "packed_d", "packed_g",
-                     "packed_train_mode"),
+                     "packed_train_mode", "r1_gamma"),
 )
 def progan_train_step_accum(
     state: ProGANTrainState,
@@ -254,6 +279,7 @@ def progan_train_step_accum(
     packed_d: bool = False,
     packed_g: bool = False,
     packed_train_mode: str = "default",
+    r1_gamma: float = 0.0,
 ):
     """progan_train_step with gradient accumulation: ``real_images`` is
     [A, B, R, R, 3] and ``z`` is [A, B, latent_dim] — A microbatches whose
@@ -273,7 +299,7 @@ def progan_train_step_accum(
     opt = progan_optimizer(lr)
     d_loss_fn, g_loss_fn = _progan_loss_fns(
         state.g_params, config, stage, alpha, dtype, packed_fake, remat,
-        packed_d, packed_g, packed_train_mode, None,
+        packed_d, packed_g, packed_train_mode, None, r1_gamma,
     )
     n_accum = real_images.shape[0]
     zeros_d = jax.tree.map(jnp.zeros_like, state.d_params)

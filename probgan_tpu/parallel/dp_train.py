@@ -35,11 +35,11 @@ from probgan_tpu.models.pro_gan import ProGANConfig
     jax.jit,
     static_argnames=("mesh", "config", "stage", "lr", "dtype", "ema_beta",
                      "packed_fake", "remat", "packed_d", "packed_g",
-                     "packed_train_mode"),
+                     "packed_train_mode", "r1_gamma"),
 )
 def _dp_step(state, real_images, z, alpha, mesh, config, stage, lr, dtype,
              ema_beta, packed_fake, remat, packed_d, packed_g,
-             packed_train_mode):
+             packed_train_mode, r1_gamma):
     axes = tuple(mesh.axis_names)
 
     def body(st, real_local, z_local, a):
@@ -48,6 +48,7 @@ def _dp_step(state, real_images, z, alpha, mesh, config, stage, lr, dtype,
             dtype=dtype, ema_beta=ema_beta, packed_fake=packed_fake,
             remat=remat, packed_d=packed_d, packed_g=packed_g,
             packed_train_mode=packed_train_mode, axis_names=axes,
+            r1_gamma=r1_gamma,
         )
 
     fn = jax.shard_map(
@@ -115,6 +116,7 @@ def dp_progan_train_step(
     packed_d: bool = False,
     packed_g: bool = False,
     packed_train_mode: str = "default",
+    r1_gamma: float = 0.0,
 ):
     """One data-parallel G/D step; same contract as progan_train_step with
     the batch sharded over every mesh axis. Batch must divide the device
@@ -132,5 +134,5 @@ def dp_progan_train_step(
     return _dp_step(
         state, real_images, z, jnp.float32(alpha), mesh, config, stage, lr,
         dtype, ema_beta, packed_fake, remat, packed_d, packed_g,
-        packed_train_mode,
+        packed_train_mode, r1_gamma,
     )
