@@ -33,8 +33,18 @@ choice is a pure time question — drop the stages with the largest
 HIGH-DEFAULT time delta. Predicted dB for dropping k early stages:
 k=1 -> ~52.8 mean, k=2 -> ~51.7, k=3 -> ~50.9, k=7 (all) -> ~48.4.
 
+Sweep mode (--seeds/--batches/--alphas comma lists): PSNR-only (timing is
+the single-cell ladder's job), every (seed, batch, alpha) cell re-inits the
+generator WEIGHTS from the seed — the same protocol as packed_psnr.py's
+sweep — and the JSON reports min/mean/max per variant over all cells. This
+is the margin evidence a serving-grade flip rests on: the ladder's one-cell
+PSNR says which mix is cheapest; the sweep says whether its margin over the
+50 dB bar survives weight/batch/alpha variation.
+
 Usage: python benchmarks/fast_grade_bench.py [--res 1024] [--batch 8]
          [--variants fast,alldef,guard4,guard5,s6fast,midlate] [--seed 7]
+       python benchmarks/fast_grade_bench.py --variants fast,s6fast \
+         --seeds 7,11,23 --batches 1,8 --alphas 0.3,1.0   # sweep mode
 """
 
 from __future__ import annotations
@@ -66,6 +76,12 @@ def main() -> None:
     )
     parser.add_argument("--skip_time", action="store_true",
                         help="PSNR only (quick)")
+    parser.add_argument("--seeds", default=None,
+                        help="comma list of weight seeds -> sweep mode")
+    parser.add_argument("--batches", default=None,
+                        help="comma list of batch sizes (sweep mode)")
+    parser.add_argument("--alphas", default=None,
+                        help="comma list of blend alphas (sweep mode)")
     parser.add_argument("--fmap_base", type=int, default=8192,
                         help="shrink with --fmap_max for CPU smoke tests")
     parser.add_argument("--fmap_max", type=int, default=512)
@@ -123,7 +139,7 @@ def main() -> None:
     saved_modes = dict(pro_gan._PACKED_MODES)
 
     def make_render_mode(early, s0, late_mode):
-        def fwd(params, z):
+        def fwd(params, z, alpha):
             for k in list(pro_gan._PACKED_MODES):
                 pro_gan._PACKED_MODES[k] = late_mode
             try:
@@ -134,7 +150,7 @@ def main() -> None:
                 for s in range(1, s0):
                     x = pro_gan._g_block(params["blocks"][s - 1], x, pr[s])
                 return pro_gan._g_late_packed(
-                    params, x, cfg, s0, stage, jnp.float32(1.0), None,
+                    params, x, cfg, s0, stage, alpha, None,
                     emit="uint8",
                 )
             finally:
@@ -143,31 +159,82 @@ def main() -> None:
         return fwd
 
     dev = jax.devices()[0]
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = pro_gan.init_generator(jax.random.key(args.seed), cfg)
-    params = jax.device_put(params, dev)
-    z = jax.device_put(
-        jax.random.normal(jax.random.key(args.seed + 1),
-                          (args.batch, cfg.latent_dim), jnp.float32),
-        dev,
-    )
+    cpu = jax.devices("cpu")[0]
 
-    ref_fn = jax.jit(lambda p, zz: pro_gan.generator_apply(
-        p, zz, cfg, stage, 1.0, jnp.float32, "high", packed=False))
-    ref = np.asarray(ref_fn(params, z)).astype(np.float64)
+    def init_on(seed, batch):
+        with jax.default_device(cpu):
+            params = pro_gan.init_generator(jax.random.key(seed), cfg)
+        z = jax.random.normal(jax.random.key(seed + 1),
+                              (batch, cfg.latent_dim), jnp.float32)
+        return jax.device_put(params, dev), jax.device_put(z, dev)
+
+    ref_fn = jax.jit(lambda p, zz, a: pro_gan.generator_apply(
+        p, zz, cfg, stage, a, jnp.float32, "high", packed=False))
+
+    def psnr_of(img, ref):
+        mse = float(np.mean((img.astype(np.float64) - ref) ** 2))
+        return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    variants = args.variants.split(",")
+
+    if args.seeds or args.batches or args.alphas:
+        # Sweep mode: PSNR only, weights re-initialized per seed.
+        seeds = [int(s) for s in (args.seeds or str(args.seed)).split(",")]
+        batch_list = [int(b) for b in
+                      (args.batches or str(args.batch)).split(",")]
+        alphas = [float(a) for a in (args.alphas or "1.0").split(",")]
+        fwds = {}
+        for name in variants:
+            early, s0, late_mode = spec(name)
+            fwds[name] = (jax.jit(make_render_mode(early, s0, late_mode)),
+                          s0, late_mode)
+        cells = {name: [] for name in variants}
+        for batch in batch_list:  # batch outermost: one compile per (v, b)
+            for seed in seeds:
+                params, z = init_on(seed, batch)
+                for alpha in alphas:
+                    a = jnp.float32(alpha)
+                    ref = np.asarray(ref_fn(params, z, a)).astype(np.float64)
+                    for name in variants:
+                        fwd, s0, late_mode = fwds[name]
+                        db = psnr_of(np.asarray(fwd(params, z, a)), ref)
+                        cells[name].append(
+                            {"seed": seed, "batch": batch, "alpha": alpha,
+                             "psnr_db": round(db, 1)})
+                        log(f"s{seed} b{batch} a{alpha} {name}: {db:.1f} dB")
+        rows = {}
+        for name in variants:
+            vals = [c["psnr_db"] for c in cells[name]]
+            _, s0, late_mode = fwds[name]
+            rows[name] = {
+                "s0": s0, "late_mode": late_mode, "n": len(vals),
+                "min_db": round(min(vals), 1),
+                "mean_db": round(float(np.mean(vals)), 1),
+                "max_db": round(max(vals), 1),
+                "cells": cells[name],
+            }
+        print(json.dumps({
+            "metric": f"fast_grade_sweep_{args.res}",
+            "seeds": seeds, "batches": batch_list, "alphas": alphas,
+            "psnr_ref": "xla_high (73 dB anchor vs fp32 CPU reference)",
+            "variants": rows,
+        }), flush=True)
+        return
+
+    params, z = init_on(args.seed, args.batch)
+    a1 = jnp.float32(1.0)
+    ref = np.asarray(ref_fn(params, z, a1)).astype(np.float64)
     log("reference (XLA high) rendered")
 
     rows = {}
-    for name in args.variants.split(","):
+    for name in variants:
         early, s0, late_mode = spec(name)
         fwd = jax.jit(make_render_mode(early, s0, late_mode))
-        img = np.asarray(fwd(params, z)).astype(np.float64)
-        mse = float(np.mean((img - ref) ** 2))
-        psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        psnr = psnr_of(np.asarray(fwd(params, z, a1)), ref)
         row = {"psnr_db": round(psnr, 1), "s0": s0, "late_mode": late_mode}
         if not args.skip_time:
             def step(zc, fwd=fwd):
-                out = fwd(params, zc)
+                out = fwd(params, zc, a1)
                 return zc + (jnp.mean(out.astype(jnp.float32))
                              - 127.0) * 1e-6
             ms = slope_timed_ms(step, z, chains=args.chains)
