@@ -314,8 +314,9 @@ _PACKED_MODES = {
     "default": "default",
     jax.lax.Precision.DEFAULT: "default",
     # "fast": the cheapest mode measured >= 50 dB end-to-end at 1024²
-    # (benchmarks/packed_psnr.py: 52.7/54.1 dB over two seeds/batches; the
-    # 2-term "mid" sits at 54.7/55.8). The key is that the fast GRADE keeps
+    # (benchmarks/packed_psnr.py 48-cell sweep — 8 weight seeds x batches
+    # {1,2,8} x alphas {0.3,1.0}: min 50.0 / mean 53.8 dB; the 2-term "mid"
+    # sweeps at min 51.2 / mean 55.5). The key is that the fast GRADE keeps
     # the early XLA stages at 3-pass HIGH (cheap — they are ~18% of the
     # forward) so only the packed late stages run 1-pass bf16; an all-
     # default pipeline measures ~48 dB, below the bar. Serving grade only;
