@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--fast", action="store_true",
                         help="The measured-fast production training preset: "
                         "implies --bf16 --packed_d --packed_g (1024² b2 "
-                        "step 0.533 -> 0.313 s, 1.71x; soak-validated on "
+                        "step 0.518 -> 0.298 s, 1.74x; soak-validated on "
                         "full 256² and 1024² schedules — see "
                         "docs/TRAINING.md and benchmarks/RESULTS.md)")
     parser.add_argument("--r1_gamma", type=float, default=0.0,
