@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["default", "fast", "high", "highest"])
     parser.add_argument("--resume", action="store_true",
                         help="Resume from <output_dir>/train_state.msgpack")
+    parser.add_argument("--grow", action="store_true",
+                        help="With --resume: allow the saved state to come "
+                        "from a LOWER-resolution schedule (progressive "
+                        "growth — e.g. extend a finished 512² run to 1024² "
+                        "by training only the new stage). Trained "
+                        "params/EMA/Adam moments restore; the new stage's "
+                        "start fresh and fade in as usual")
     parser.add_argument("--ema_beta", type=float, default=0.999,
                         help="Generator EMA decay (0 disables; EMA weights "
                         "are what generate_images serves by default)")
@@ -234,7 +241,8 @@ def main(argv: list[str] | None = None) -> int:
         # alias_missing: pre-EMA train_state files seed g_ema from the saved
         # raw generator (core/train_state.py).
         state, meta = load_train_state(
-            train_state_path, state, alias_missing={"g_ema": "g_params"}
+            train_state_path, state, alias_missing={"g_ema": "g_params"},
+            grow=args.grow,
         )
         if mesh is not None:
             from probgan_tpu.parallel.dp_train import replicate_state

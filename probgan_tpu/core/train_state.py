@@ -38,7 +38,8 @@ def save_train_state(path: str, state: Any, meta: dict) -> None:
 
 
 def load_train_state(
-    path: str, template: Any, alias_missing: dict[str, str] | None = None
+    path: str, template: Any, alias_missing: dict[str, str] | None = None,
+    grow: bool = False,
 ) -> tuple[Any, dict]:
     """Restore a train state into ``template``'s structure. Returns
     (state, meta).
@@ -47,12 +48,51 @@ def load_train_state(
     top-level field existed — each missing key is seeded from the named
     sibling key (e.g. ``{"g_ema": "g_params"}`` for pre-EMA ProGAN states;
     flax state-dicts key NamedTuples by field name). Only the listed keys
-    are upgraded; any other structure mismatch still raises."""
+    are upgraded; any other structure mismatch still raises.
+
+    ``grow``: progressive-growth restore — the file may be a strict SUBTREE
+    of ``template`` (e.g. a ProGAN state trained to 512² poured into a
+    1024² template: the extra stage's params/EMA/Adam moments keep the
+    template's fresh-init values while every trained leaf restores).
+    File leaves absent from the template, or with a different shape, still
+    raise — growing never silently drops or reshapes trained weights."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     sd = payload["state"]
     for missing, source in (alias_missing or {}).items():
         if missing not in sd and source in sd:
             sd[missing] = sd[source]
+    if grow:
+        sd = _merge_subtree(serialization.to_state_dict(template), sd)
     state = serialization.from_state_dict(template, sd)
     return state, payload["meta"]
+
+
+def _merge_subtree(template_sd: Any, file_sd: Any, path: str = "") -> Any:
+    """Pour ``file_sd`` into a copy of ``template_sd`` (dict-of-dict state
+    dicts; flax renders list entries as stringified-index keys, so grown
+    per-stage lists merge positionally). Every file entry must exist in the
+    template with a matching leaf shape."""
+    if isinstance(file_sd, dict):
+        if not isinstance(template_sd, dict):
+            raise ValueError(
+                f"grow restore: '{path}' is a subtree in the file but a "
+                f"leaf in the template"
+            )
+        merged = dict(template_sd)
+        for key, val in file_sd.items():
+            if key not in template_sd:
+                raise ValueError(
+                    f"grow restore: file entry '{path}/{key}' has no "
+                    f"counterpart in the template state"
+                )
+            merged[key] = _merge_subtree(template_sd[key], val, f"{path}/{key}")
+        return merged
+    t_shape = getattr(template_sd, "shape", None)
+    f_shape = getattr(file_sd, "shape", None)
+    if t_shape != f_shape:
+        raise ValueError(
+            f"grow restore: leaf '{path}' shape {f_shape} != template "
+            f"shape {t_shape} (incompatible architecture, not a growth)"
+        )
+    return file_sd

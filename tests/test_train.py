@@ -547,6 +547,80 @@ def test_progan_pre_ema_train_state_upgrades_on_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_progan_train_state_grow_restore(tmp_path):
+    """grow=True pours a lower-resolution train state into a taller
+    template: every trained leaf restores exactly, the new stage's
+    params/EMA/Adam moments keep the template's fresh-init values, and
+    incompatible files (foreign keys, reshaped leaves) still raise."""
+    from probgan_tpu.core.train_state import load_train_state, save_train_state
+
+    cfg8 = pro_gan.ProGANConfig(resolution=8, latent_dim=8, fmap_base=64, fmap_max=16)
+    cfg16 = pro_gan.ProGANConfig(resolution=16, latent_dim=8, fmap_base=64, fmap_max=16)
+    small = train_engine.progan_init_state(jax.random.key(0), cfg8, lr=1e-3)
+    # Make the trained values distinguishable from any fresh init.
+    small = small._replace(
+        g_params=jax.tree.map(lambda x: x + 7.0, small.g_params),
+        g_ema=jax.tree.map(lambda x: x + 9.0, small.g_ema),
+    )
+    path = str(tmp_path / "train_state.msgpack")
+    save_train_state(path, small, {"stage": cfg8.num_stages - 1, "history": {}})
+
+    template = train_engine.progan_init_state(jax.random.key(1), cfg16, lr=1e-3)
+    # Without grow the structures mismatch (extra stage) and must raise.
+    with pytest.raises((ValueError, KeyError)):
+        load_train_state(path, template)
+
+    grown, meta = load_train_state(path, template, grow=True)
+    assert meta["stage"] == cfg8.num_stages - 1
+    # Trained stages restore exactly (blocks list: stages 1..n-1).
+    n_small_blocks = cfg8.num_stages - 1
+    for i in range(n_small_blocks):
+        np.testing.assert_array_equal(
+            np.asarray(grown.g_params["blocks"][i]["conv1"]["w"]),
+            np.asarray(small.g_params["blocks"][i]["conv1"]["w"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(grown.g_ema["blocks"][i]["conv1"]["w"]),
+            np.asarray(small.g_ema["blocks"][i]["conv1"]["w"]),
+        )
+    # The new stage keeps the template's fresh init — not the +7 offset.
+    np.testing.assert_array_equal(
+        np.asarray(grown.g_params["blocks"][n_small_blocks]["conv1"]["w"]),
+        np.asarray(template.g_params["blocks"][n_small_blocks]["conv1"]["w"]),
+    )
+    # A reshaped leaf (different fmap ladder) is an error, not a growth.
+    cfg_wide = pro_gan.ProGANConfig(
+        resolution=16, latent_dim=8, fmap_base=128, fmap_max=32)
+    wide = train_engine.progan_init_state(jax.random.key(2), cfg_wide, lr=1e-3)
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(path, wide, grow=True)
+
+
+def test_image_trainer_grow_resume(tmp_path, capsys):
+    """--resume --grow extends a finished low-resolution run to a taller
+    schedule, training only the new stage (the 512²→1024² chip workflow,
+    on the tiny CPU ladder)."""
+    from probgan_tpu.cli.train_image import main as image_main
+    from probgan_tpu.core.image_checkpoint import load_image_checkpoint
+
+    out_dir = str(tmp_path / "img_grow")
+    common = [
+        "--synthetic", "8", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "1",
+        "--batch_size", "4", "--device", "cpu", "--output_dir", out_dir,
+    ]
+    assert image_main(common + ["--resolution", "8"]) == 0
+    capsys.readouterr()
+    assert image_main(
+        common + ["--resolution", "16", "--resume", "--grow"]) == 0
+    out = capsys.readouterr().out
+    assert "Resumed after stage 1" in out
+    assert "Stage 2 (16²)" in out and "Stage 0" not in out
+    cfg, _, _ = load_image_checkpoint(
+        str(tmp_path / "img_grow" / "image_checkpoint.msgpack"))
+    assert cfg.resolution == 16
+
+
 def test_progan_train_step_packed_fake_flag():
     """packed_fake=True must be bitwise-identical to False when the packed
     gate declines the config (tiny resolution) — the flag only reroutes the
