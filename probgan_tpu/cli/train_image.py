@@ -138,6 +138,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "Effective batch = N * batch_size; the use case is "
                         "HBM-bound resolutions (1024² fits batch 2). "
                         "Minibatch-stddev statistics are per-microbatch.")
+    parser.add_argument("--checkpoint_minutes", type=float, default=10.0,
+                        help="Also save the full train state mid-stage "
+                        "whenever this many minutes have passed since the "
+                        "last save (0 = stage-end saves only). --resume "
+                        "restarts from the saved epoch instead of redoing "
+                        "the whole stage — late stages run hours, and a "
+                        "backend outage should cost minutes, not the stage. "
+                        "The data-shuffle RNG stream restarts from --seed "
+                        "on resume, so a resumed run may revisit early "
+                        "permutations; latent noise is (stage,epoch,step)-"
+                        "keyed and unaffected.")
     parser.add_argument("--mesh", type=str, default="",
                         help="Data-parallel training over a device mesh: "
                         "'auto' (all attached devices) or a device count. "
@@ -165,6 +176,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.fast:
         args.bf16 = args.packed_d = args.packed_g = True
+    if args.grow and not args.resume:
+        # Silent-ignore would train the new resolution from scratch — the
+        # expensive outcome the flag exists to prevent (ADVICE r4).
+        print("Error: --grow requires --resume (it extends a saved run's "
+              "train_state.msgpack to a higher resolution)")
+        return 1
 
     import jax
     import jax.numpy as jnp
@@ -236,8 +253,14 @@ def main(argv: list[str] | None = None) -> int:
     ckpt_path = os.path.join(args.output_dir, "image_checkpoint.msgpack")
     train_state_path = os.path.join(args.output_dir, "train_state.msgpack")
     start_stage = 0
+    start_epoch = 0
     history: dict[str, list] = {"d_loss": [], "g_loss": []}
-    if args.resume and os.path.exists(train_state_path):
+    if args.resume:
+        if not os.path.exists(train_state_path):
+            # A missing state file must not silently become a from-scratch
+            # run at the (higher) resolution (ADVICE r4).
+            print(f"Error: --resume: no train state at {train_state_path}")
+            return 1
         # alias_missing: pre-EMA train_state files seed g_ema from the saved
         # raw generator (core/train_state.py).
         state, meta = load_train_state(
@@ -251,8 +274,19 @@ def main(argv: list[str] | None = None) -> int:
         else:
             state = jax.device_put(state, device)
         history = {k: list(v) for k, v in meta["history"].items()}
-        start_stage = int(meta["stage"]) + 1
-        print(f"Resumed after stage {meta['stage']} (next: stage {start_stage})")
+        # Pre-mid-stage-save files carry no "epoch" key: the save always
+        # happened at a stage boundary, i.e. the stage is complete.
+        done_epochs = int(meta.get("epoch", args.epochs_per_stage))
+        if done_epochs < args.epochs_per_stage:
+            start_stage = int(meta["stage"])
+            start_epoch = done_epochs
+            print(
+                f"Resumed mid-stage {start_stage} "
+                f"(next: epoch {start_epoch + 1}/{args.epochs_per_stage})"
+            )
+        else:
+            start_stage = int(meta["stage"]) + 1
+            print(f"Resumed after stage {meta['stage']} (next: stage {start_stage})")
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a" if args.resume else "w")
     rng = np.random.RandomState(args.seed)
 
@@ -281,13 +315,17 @@ def main(argv: list[str] | None = None) -> int:
         return 1
     steps_per_epoch = max(1, n // consume)
     fade_epochs = max(1, args.epochs_per_stage // 2)
-    opt_steps = 0  # global optimizer-step counter (lazy-R1 cadence)
+    # Global optimizer-step counter (lazy-R1 cadence); on resume, rebuilt
+    # from the resumed position so the R1 interval phase is preserved.
+    opt_steps = (start_stage * args.epochs_per_stage + start_epoch) * steps_per_epoch
+    last_save = time.time()
 
     for stage in range(start_stage, config.num_stages):
         res = pro_gan.stage_resolution(stage)
         reals = _downscale(real_full, args.resolution // res)
         print(f"Stage {stage} ({res}²): {args.epochs_per_stage} epochs")
-        for epoch in range(args.epochs_per_stage):
+        first_epoch = start_epoch if stage == start_stage else 0
+        for epoch in range(first_epoch, args.epochs_per_stage):
             # alpha ramps 0 -> 1 over the stage's first half (fade-in), then 1.
             alpha = 1.0 if stage == 0 else min(1.0, (epoch + 1) / fade_epochs)
             t0 = time.time()
@@ -376,6 +414,15 @@ def main(argv: list[str] | None = None) -> int:
                 "seconds": round(time.time() - t0, 2),
             }) + "\n")
             metrics_log.flush()
+            mid_stage = epoch + 1 < args.epochs_per_stage
+            if (args.checkpoint_minutes > 0 and mid_stage
+                    and time.time() - last_save > args.checkpoint_minutes * 60):
+                save_train_state(train_state_path, state, {
+                    "stage": stage, "epoch": epoch + 1, "history": history,
+                })
+                last_save = time.time()
+                if args.verbose:
+                    print(f"  mid-stage train state saved (epoch {epoch + 1})")
 
         save_image_checkpoint(
             ckpt_path, config,
@@ -387,7 +434,10 @@ def main(argv: list[str] | None = None) -> int:
                 if args.ema_beta > 0 else None
             ),
         )
-        save_train_state(train_state_path, state, {"stage": stage, "history": history})
+        save_train_state(train_state_path, state, {
+            "stage": stage, "epoch": args.epochs_per_stage, "history": history,
+        })
+        last_save = time.time()
         if args.verbose:
             print(f"  checkpoint saved to {ckpt_path}")
 

@@ -916,3 +916,73 @@ def test_image_trainer_r1_cli(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "Training complete!" in out
+
+
+def test_image_trainer_grow_requires_resume(tmp_path, capsys):
+    """--grow without --resume errors instead of silently training the new
+    (higher) resolution from scratch (ADVICE r4)."""
+    from probgan_tpu.cli.train_image import main as image_main
+
+    rc = image_main([
+        "--synthetic", "8", "--resolution", "8", "--grow",
+        "--output_dir", str(tmp_path / "img_g"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1 and "requires --resume" in out
+
+
+def test_image_trainer_resume_missing_state_errors(tmp_path, capsys):
+    """--resume with no train_state.msgpack errors instead of silently
+    starting a from-scratch run (ADVICE r4)."""
+    from probgan_tpu.cli.train_image import main as image_main
+
+    rc = image_main([
+        "--synthetic", "8", "--resolution", "8", "--resume",
+        "--output_dir", str(tmp_path / "img_missing"),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1 and "no train state" in out
+
+
+def test_image_trainer_mid_stage_resume(tmp_path, capsys):
+    """A train state saved mid-stage (timed --checkpoint_minutes saves)
+    resumes at the saved epoch instead of redoing the stage — the property
+    that bounds an outage's cost to minutes on the multi-hour 512²/1024²
+    stages."""
+    import json
+
+    from flax import serialization
+
+    from probgan_tpu.cli.train_image import main as image_main
+
+    out_dir = str(tmp_path / "img_mid")
+    common = [
+        "--synthetic", "8", "--resolution", "8", "--latent_dim", "8",
+        "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage", "4",
+        "--batch_size", "4", "--device", "cpu", "--output_dir", out_dir,
+        # threshold ~0 -> every epoch writes a mid-stage save
+        "--checkpoint_minutes", "1e-9", "--verbose",
+    ]
+    assert image_main(common) == 0
+    out = capsys.readouterr().out
+    assert "mid-stage train state saved" in out
+
+    state_path = os.path.join(out_dir, "train_state.msgpack")
+    with open(state_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    assert payload["meta"]["epoch"] == 4  # stage-end save is authoritative
+    # Pretend the run died after epoch 2 of the final stage (index 1).
+    payload["meta"]["epoch"] = 2
+    with open(state_path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    with open(metrics_path) as f:
+        n_before = sum(1 for _ in f)
+    assert image_main(common + ["--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "Resumed mid-stage 1 (next: epoch 3/4)" in out
+    with open(metrics_path) as f:
+        rows = [json.loads(line) for line in f][n_before:]
+    # Only the remaining epochs of the interrupted stage ran.
+    assert [(r["stage"], r["epoch"]) for r in rows] == [(1, 3), (1, 4)]
