@@ -16,7 +16,8 @@ O(10 s) on this host's one core.
 
 Env overrides: PROBGAN_BENCH_BATCH, PROBGAN_BENCH_SECONDS, PROBGAN_BENCH_RES,
 PROBGAN_BENCH_DTYPE (float32|bfloat16),
-PROBGAN_BENCH_PRECISION (default|high|highest — MXU pass count; see below).
+PROBGAN_BENCH_PRECISION (default|high|highest — MXU pass count; see below),
+PROBGAN_BENCH_KG (auto|1|0 — the N=1M KG ranking leg; auto = TPU only).
 """
 
 from __future__ import annotations
@@ -31,7 +32,10 @@ import numpy as np
 
 RES = int(os.environ.get("PROBGAN_BENCH_RES", "1024"))
 BATCH = int(os.environ.get("PROBGAN_BENCH_BATCH", "8"))  # v5e sweet spot @1024²
-CHAIN = int(os.environ.get("PROBGAN_BENCH_CHAIN", "8"))  # batches per device call (~34 ms relay RPC amortized to ~4%)
+# Batches per device call: 32 chained batches ≈ 2.1 s of device work per
+# ~34 ms relay RPC, shrinking the per-call tax to ~1.6% (r4 ran CHAIN=8 at
+# ~4%; VERDICT r4 #7 asked for the residual to be squeezed or documented).
+CHAIN = int(os.environ.get("PROBGAN_BENCH_CHAIN", "32"))
 # 30 s window: the relay transport stalls individual calls by 100s of ms a
 # few times a minute (observed round 4: a 10 s window measured 98.6 img/s
 # mean while p50 held 8.1 ms/img = ~123 img/s; a 30 s window converged to
@@ -275,11 +279,14 @@ def run_bench(partial: dict) -> None:
         log("compiling fast-grade graph...")
         float(gen_checksum_fast(g_params, z_chain))
         float(gen_checksum_fast(g_params, z_chain))  # warmup
-        fimages, t_start = 0, time.perf_counter()
+        fimages, flat, t_start = 0, [], time.perf_counter()
         while time.perf_counter() - t_start < min(SECONDS, 15.0):
+            t1 = time.perf_counter()
             float(gen_checksum_fast(g_params, z_chain))
+            flat.append(time.perf_counter() - t1)
             fimages += BATCH * CHAIN
         fast_ips = fimages / (time.perf_counter() - t_start)
+        fast_p50_ms = 1000.0 * float(np.percentile(flat, 50)) / (BATCH * CHAIN)
         log(f"fast grade (>=50 dB): {fast_ips:.2f} img/s")
 
     # Roofline accounting (VERDICT r1 #10): ideal HBM traffic per image under
@@ -309,6 +316,11 @@ def run_bench(partial: dict) -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / cpu_ips, 2) if cpu_ips > 0 else None,
         "p50_ms_per_image_chained": round(p50_ms, 2),
+        # Both methodologies ride in the artifact (VERDICT r4 #7): "value"
+        # is WALL-CLOCK over the whole window (includes relay stalls — what
+        # a user of this tunnel sees); "slope_img_per_sec" is the p50
+        # per-call rate (stall-robust — what the chip itself sustains).
+        "slope_img_per_sec": round(1000.0 / p50_ms, 3) if p50_ms > 0 else None,
         "hbm_bw_util": round(hbm_bw_util, 3),
     }
     if fast_ips is not None:
@@ -316,13 +328,90 @@ def run_bench(partial: dict) -> None:
         result["fast_grade_vs_baseline"] = (
             round(fast_ips / cpu_ips, 2) if cpu_ips > 0 else None
         )
+        result["fast_grade_slope_img_per_sec"] = (
+            round(1000.0 / fast_p50_ms, 3) if fast_p50_ms > 0 else None
+        )
         # Same ideal-traffic model as the headline (VERDICT r3 #3 asks for
         # the fast grade's utilization too — it is the grade where the chip
         # stops being MXU-pass-bound and bandwidth starts to matter).
         result["fast_grade_hbm_bw_util"] = round(
             fast_ips * bytes_per_img / 819e9, 3
         )
+
+    # KG flagship metric (VERDICT r4 #8): the reference's actual domain is
+    # link-prediction ranking; the driver artifact carries its perf too.
+    # Generator fwd -> fused normalize/rank matmul -> top-k at N=1M entities
+    # (the production fp32 fused path of benchmarks/kg_rank_bench.py).
+    # Failure here never voids the image headline above.
+    kg_mode = os.environ.get("PROBGAN_BENCH_KG", "auto")
+    run_kg = kg_mode == "1" or (
+        kg_mode == "auto" and jax.default_backend() == "tpu"
+    )  # N=1M is minutes-per-pass on the 1-core CPU backend — chip only
+    if run_kg:
+        try:
+            result.update(measure_kg_rank())
+        except Exception as e:  # noqa: BLE001
+            log(f"kg rank leg failed (headline unaffected): {e}")
+            result["kg_rank_qps_n1m"] = None
+            result["kg_rank_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def measure_kg_rank(n: int = 1_000_000, d: int = 128, z_dim: int = 64,
+                    b: int = 64, top_k: int = 10, chain: int = 48,
+                    seconds: float = 8.0) -> dict:
+    """predict_tails' core at production scale: queries/sec through the
+    fused Pallas rank+top-k kernel ([B, N] scores never touch HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probgan_tpu.engine.inference import _rank_topk
+    from probgan_tpu.models import kg_gan
+    from probgan_tpu.ops import pallas_rank
+
+    n_pad = -(-n // 2048) * 2048  # rank kernel N tile (ops/pallas_rank.py)
+    with jax.default_device(jax.devices("cpu")[0]):
+        g_params = kg_gan.init_generator(jax.random.key(SEED), d, z_dim)
+        table = np.random.RandomState(SEED).standard_normal((n_pad, d))
+        table = table.astype(np.float32)
+        table[n:] = 0.0
+        table /= np.maximum(np.linalg.norm(table, axis=1, keepdims=True), 1e-12)
+    dev = jax.devices()[0]
+    g_params = jax.device_put(g_params, dev)
+    table_norm = jax.device_put(np.ascontiguousarray(table), dev)
+    use_pallas = (
+        jax.default_backend() == "tpu" and pallas_rank.supports((b, d), n_pad)
+    )
+    hc = jax.random.normal(jax.random.key(1), (chain, b, d), jnp.float32)
+    rc = jax.random.normal(jax.random.key(2), (chain, b, d), jnp.float32)
+    zc = jax.random.normal(jax.random.key(3), (chain, b, z_dim), jnp.float32)
+
+    @jax.jit
+    def rank_checksum(g_params, hc, rc, zc, table_norm):
+        def step(acc, inputs):
+            hh, rr, zz = inputs
+            pred = kg_gan.generator_apply(g_params, hh, rr, zz)
+            v, i = _rank_topk(pred, table_norm, top_k, n, use_pallas)
+            return acc + jnp.sum(i) + jnp.sum(v).astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(step, jnp.int32(0), (hc, rc, zc))
+        return acc
+
+    log(f"compiling kg rank graph (N={n}, pallas={use_pallas})...")
+    float(rank_checksum(g_params, hc, rc, zc, table_norm))
+    float(rank_checksum(g_params, hc, rc, zc, table_norm))  # warmup
+    iters, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        float(rank_checksum(g_params, hc, rc, zc, table_norm))
+        iters += 1
+    qps = iters * chain * b / (time.perf_counter() - t0)
+    log(f"kg rank: {qps:.0f} queries/s @ N={n}")
+    return {
+        "kg_rank_qps_n1m": round(qps, 1),
+        "kg_rank_batch": b,
+        "kg_rank_top_k": top_k,
+        "kg_rank_pallas": use_pallas,
+    }
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ Variant grammar (--variants comma list):
   bf16early   early stages in bf16 DTYPE (halved activation bandwidth for
               the launch/bandwidth-bound small stages) at DEFAULT precision,
               cast to fp32 at the packed entry
+  finalmid    like fast but ONLY the final packed stage runs kernel mode
+              "mid" (per-stage mix "default+mid"): the error budget is
+              ~uniform per stage, so one mid stage buys ~+1 dB worst-case
+              for about half of all-mid's 19% cost (VERDICT r4 #2)
+  fm:NAME     prefix form of the same mix for any variant NAME
 
 CPU-study priors (benchmarks/stage_error_budget.py, 512², 2 seeds x 2
 alphas): per-stage bf16 error contributions are UNIFORM (~1.5e-6 rel MSE
@@ -109,6 +114,13 @@ def main() -> None:
         if name.startswith("mid:"):
             late_mode = "mid"
             name = name[4:]
+        if name.startswith("fm:"):
+            # per-stage mix: non-final packed stages "default", FINAL stage
+            # "mid" — the half-cost margin candidate (VERDICT r4 #2)
+            late_mode = "default+mid"
+            name = name[3:]
+        if name == "finalmid":
+            name, late_mode = "fast", "default+mid"
         s0 = s0_gate
         if name.startswith("s6"):
             s0 = 6

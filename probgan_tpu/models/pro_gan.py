@@ -358,6 +358,17 @@ def _g_late_packed(
     from probgan_tpu.ops import pallas_packed as pk
 
     mode = _PACKED_MODES[precision]
+    # Per-stage mix "base+final": non-final packed stages run ``base``,
+    # the FINAL stage runs ``final``. Rationale (benchmarks/
+    # stage_error_budget.py + the r4 48-cell sweeps): per-stage errors add
+    # ~uniformly, and the final stage is the most expensive one — upgrading
+    # only it buys ~+1 dB worst-case for roughly half of all-"mid"'s 19%
+    # cost. With a single packed stage (s0 == stage) the mix degenerates to
+    # pure ``final``.
+    if "+" in mode:
+        base_mode, final_mode = mode.split("+")
+    else:
+        base_mode = final_mode = mode
     stage_fused = os.environ.get("PROBGAN_STAGE_FUSED", "0") == "1"
     conv_w = eq_scaled_conv_w
 
@@ -370,6 +381,7 @@ def _g_late_packed(
     p = 1
     for s in range(s0, stage + 1):
         block = params["blocks"][s - 1]
+        m = final_mode if s == stage else base_mode
         if stage_fused:
             if s == stage:
                 rgb = pk.packed_upconv_conv_rgb(
@@ -378,7 +390,7 @@ def _g_late_packed(
                     rgb_w(params["to_rgb"][s]), params["to_rgb"][s]["b"],
                     rgb_w(params["to_rgb"][s - 1]),
                     params["to_rgb"][s - 1]["b"],
-                    jnp.asarray(alpha, jnp.float32), p, mode=mode,
+                    jnp.asarray(alpha, jnp.float32), p, mode=m,
                     emit_uint8=emit_uint8,
                 )
                 if emit_uint8:
@@ -386,33 +398,33 @@ def _g_late_packed(
                 return pk.packed_rgb_to_nhwc(rgb, 2 * p)
             x = pk.packed_upconv_conv(
                 x, conv_w(block["conv1"]), block["conv1"]["b"],
-                conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode,
+                conv_w(block["conv2"]), block["conv2"]["b"], p, mode=m,
             )
             p *= 2
             continue
         if s == stage:
             feats, rgb_prev8 = pk.packed_upconv(
-                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode,
+                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=m,
                 rgb_w=rgb_w(params["to_rgb"][s - 1]),
                 rgb_b=params["to_rgb"][s - 1]["b"],
             )
         else:
             feats = pk.packed_upconv(
-                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=mode
+                x, conv_w(block["conv1"]), block["conv1"]["b"], p, mode=m
             )
         p *= 2
         if s == stage:
             rgb = pk.packed_conv_rgb(
                 feats, conv_w(block["conv2"]), block["conv2"]["b"],
                 rgb_w(params["to_rgb"][s]), params["to_rgb"][s]["b"],
-                rgb_prev8, jnp.asarray(alpha, jnp.float32), p, mode=mode,
+                rgb_prev8, jnp.asarray(alpha, jnp.float32), p, mode=m,
                 emit_uint8=emit_uint8,
             )
             if emit_uint8:
                 return pk.packed_u32_to_nhwc_uint8(rgb, p)
             return pk.packed_rgb_to_nhwc(rgb, p)
         x = pk.packed_conv(
-            feats, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=mode
+            feats, conv_w(block["conv2"]), block["conv2"]["b"], p, mode=m
         )
     raise AssertionError("unreachable")
 

@@ -90,3 +90,44 @@ def test_cpu_smoke_end_to_end(tmp_path):
     # the isolated cache, not the repo one, took the tiny-res entry
     cache = json.loads((workdir / "benchmarks" / "cpu_baseline.json").read_text())
     assert any(k.startswith("res32_") for k in cache)
+
+
+def test_kg_rank_leg_runs_at_tiny_scale():
+    """measure_kg_rank (the driver artifact's KG metric, VERDICT r4 #8)
+    produces a positive qps and the expected fields on the CPU backend at
+    toy N — the exact function the chip run calls at N=1M."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rec = bench.measure_kg_rank(n=4000, d=16, z_dim=8, b=4, top_k=3,
+                                chain=2, seconds=0.3)
+    assert rec["kg_rank_qps_n1m"] > 0
+    assert rec["kg_rank_batch"] == 4 and rec["kg_rank_top_k"] == 3
+    assert rec["kg_rank_pallas"] is False  # CPU backend
+
+
+def test_cpu_smoke_skips_kg_leg_by_default(tmp_path):
+    """PROBGAN_BENCH_KG=auto must not run the N=1M leg on the CPU backend
+    (minutes per pass on one core) — the smoke artifact carries no kg key."""
+    workdir = tmp_path / "benchrun_kg"
+    (workdir / "benchmarks").mkdir(parents=True)
+    shutil.copy(BENCH, workdir / "bench.py")
+    r = subprocess.run(
+        [sys.executable, str(workdir / "bench.py")],
+        capture_output=True,
+        timeout=420,
+        cwd=REPO,
+        env=_env(
+            JAX_PLATFORMS="cpu",
+            PYTHONPATH=REPO,
+            PROBGAN_BENCH_RES="32",
+            PROBGAN_BENCH_BATCH="2",
+            PROBGAN_BENCH_CHAIN="2",
+            PROBGAN_BENCH_SECONDS="1",
+            PROBGAN_BENCH_PROBE_ATTEMPTS="1",
+        ),
+    )
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+    rec = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert "kg_rank_qps_n1m" not in rec
+    assert rec["slope_img_per_sec"] > 0  # both methodologies in the artifact

@@ -740,3 +740,42 @@ def test_fast_grade_psnr_margin_emulated():
         # < 70 dB proves the bf16 rounding actually engaged (the un-emulated
         # CPU pipeline scores 97+ dB); > 51 dB is the margin floor.
         assert 51.0 < psnr < 70.0, f"alpha={alpha}: fast-grade PSNR {psnr:.1f} dB"
+
+
+def test_per_stage_mode_mix_routing(monkeypatch):
+    """Packed-mode mixes "base+final" (models/pro_gan._g_late_packed) route
+    the FINAL stage's kernels to ``final`` and every earlier packed stage to
+    ``base``: with two packed stages "default+mid" differs from both pure
+    modes; with a single packed stage it degenerates to pure ``final``
+    bitwise. This is the serving-margin candidate mix of VERDICT r4 #2
+    (measured on chip by benchmarks/fast_grade_bench.py --variants
+    finalmid)."""
+    z_key, w_key = jax.random.key(1), jax.random.key(0)
+
+    def render(cfg, stage, mode):
+        monkeypatch.setitem(pro_gan._PACKED_MODES, "fast", mode)
+        params = pro_gan.init_generator(w_key, cfg)
+        z = jax.random.normal(z_key, (2, cfg.latent_dim), jnp.float32)
+        return np.asarray(
+            pro_gan.generator_rgb(params, z, cfg, stage, 1.0,
+                                  precision="fast", packed=True)
+        )
+
+    # 512²: packed segment {6, 7} — two stages, the mix is a true mix.
+    cfg2 = pro_gan.ProGANConfig(resolution=512, latent_dim=16, fmap_base=512,
+                                fmap_max=64)
+    stage2 = cfg2.num_stages - 1
+    assert pro_gan.packed_start_stage(cfg2, stage2) == 6
+    mix = render(cfg2, stage2, "default+mid")
+    pure_default = render(cfg2, stage2, "default")
+    pure_mid = render(cfg2, stage2, "mid")
+    assert not np.array_equal(mix, pure_default)  # final stage went mid
+    assert not np.array_equal(mix, pure_mid)      # stage 6 stayed default
+
+    # 256²: packed segment {6} — single stage, mix == pure final mode.
+    cfg1 = pro_gan.ProGANConfig(resolution=256, latent_dim=16, fmap_base=512,
+                                fmap_max=64)
+    stage1 = cfg1.num_stages - 1
+    assert pro_gan.packed_start_stage(cfg1, stage1) == stage1
+    np.testing.assert_array_equal(render(cfg1, stage1, "default+mid"),
+                                  render(cfg1, stage1, "mid"))
