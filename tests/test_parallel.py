@@ -379,3 +379,55 @@ def test_shard_kg_state_places_table_and_moments():
     )
     assert np.isfinite(float(metrics["d_loss"]))
     assert new_state.node_emb.sharding.spec == P("model", None)
+
+
+def test_dp_train_step_packed_kernels_match_single_device():
+    """The configuration shard_map exists FOR (parallel/dp_train.py:5-9):
+    packed_d/packed_g engaged so the phase-blocked Pallas VJP kernels run
+    per-device inside the mapped body. Smallest gate-engaging config (256²,
+    nf(6)=64 — same shapes as tests/test_packed_vjp.py's single-device
+    parity test); 2-device pure-DP mesh, batch 2 = 1 image per device, so
+    the minibatch-stddev statistic only matches the single-device step if
+    the axis_names pmean really computes it over the GLOBAL batch."""
+    from probgan_tpu.engine import train as train_engine
+    from probgan_tpu.models import pro_gan
+    from probgan_tpu.parallel.dp_train import (
+        dp_progan_train_step, replicate_state,
+    )
+
+    cfg = pro_gan.ProGANConfig(resolution=256, latent_dim=8, fmap_base=1024,
+                               fmap_max=64)
+    stage = 6
+    assert pro_gan.packed_d_stage_count(cfg, stage, "highest") == 1
+    rng = np.random.RandomState(3)
+    real = jnp.asarray(rng.standard_normal((2, 256, 256, 3)) * 0.5,
+                       jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, cfg.latent_dim)), jnp.float32)
+
+    state0 = train_engine.progan_init_state(jax.random.key(4), cfg)
+    s_ref, m_ref = train_engine.progan_train_step(
+        state0, real, z, jnp.float32(0.7), cfg, stage, 1e-3,
+        packed_d=True, packed_g=True, packed_train_mode="default",
+    )
+
+    mesh = make_mesh(2, model_parallelism=1)
+    s_dp, m_dp = dp_progan_train_step(
+        mesh, replicate_state(mesh, state0), real, z, 0.7, cfg, stage, 1e-3,
+        packed_d=True, packed_g=True, packed_train_mode="default",
+    )
+    assert abs(float(m_ref["d_loss"]) - float(m_dp["d_loss"])) < 1e-5
+    assert abs(float(m_ref["g_loss"]) - float(m_dp["g_loss"])) < 1e-5
+    for tree_dp, tree_ref in ((s_dp.g_params, s_ref.g_params),
+                              (s_dp.d_params, s_ref.d_params)):
+        for a, b in zip(jax.tree.leaves(tree_dp), jax.tree.leaves(tree_ref)):
+            # Same rationale as the single-device packed parity test: where
+            # a grad is ~0, reduction-order noise (here additionally pmean
+            # vs single-device sum) flips Adam's m/(sqrt(v)+eps) update
+            # direction on ISOLATED elements, each bounded by ~2*lr. A
+            # systematically wrong gradient moves whole tensors: so bound
+            # the count of loose elements (<=0.01%) and every element by
+            # the 2*lr flip ceiling.
+            diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+            tight = 6e-4 + 4e-3 * np.abs(np.asarray(b, np.float64))
+            assert (diff > tight).mean() <= 1e-4, (diff.max(), (diff > tight).sum())
+            assert diff.max() <= 2.1e-3, diff.max()
