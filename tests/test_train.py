@@ -621,6 +621,35 @@ def test_image_trainer_grow_resume(tmp_path, capsys):
     assert cfg.resolution == 16
 
 
+def test_image_trainer_data_placement_parity(tmp_path):
+    """--data_placement device (HBM-resident uint8 dataset, on-device
+    downscale + batch gather + mirror) must train the same model as the
+    classic host pipeline: the placement only moves WHERE batches are
+    assembled, never their values. Loss parity to float epsilon over a
+    multi-stage run with --mirror engaged covers the downscale, the
+    permuted gather, and the flip mask."""
+    import json
+
+    from probgan_tpu.cli.train_image import main as image_main
+
+    losses = {}
+    for placement in ("host", "device"):
+        out_dir = str(tmp_path / f"img_{placement}")
+        assert image_main([
+            "--synthetic", "12", "--resolution", "8", "--latent_dim", "8",
+            "--fmap_base", "64", "--fmap_max", "16", "--epochs_per_stage",
+            "2", "--batch_size", "4", "--device", "cpu", "--output_dir",
+            out_dir, "--data_placement", placement, "--mirror",
+            "--seed", "3",
+        ]) == 0
+        with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+            losses[placement] = [json.loads(line) for line in f]
+    assert len(losses["host"]) == len(losses["device"]) == 4
+    for h, d in zip(losses["host"], losses["device"]):
+        assert abs(h["d_loss"] - d["d_loss"]) < 5e-4
+        assert abs(h["g_loss"] - d["g_loss"]) < 5e-3
+
+
 def test_progan_train_step_packed_fake_flag():
     """packed_fake=True must be bitwise-identical to False when the packed
     gate declines the config (tiny resolution) — the flag only reroutes the
