@@ -263,8 +263,26 @@ def main(argv: list[str] | None = None) -> int:
     )
     from probgan_tpu.core.train_state import load_train_state, save_train_state
 
+    def _dealias(tree):
+        # The fused device step donates the train state, and donation
+        # rejects one buffer appearing twice in a call — which happens
+        # whenever g_ema aliases g_params (fresh init, and pre-EMA resumes
+        # via alias_missing). Copy repeated leaf objects BEFORE device_put:
+        # afterwards the aliased leaves become distinct Array objects over
+        # one buffer and no backend-portable way to detect that exists.
+        seen: set[int] = set()
+
+        def f(x):
+            if id(x) in seen:
+                return np.array(x, copy=True)
+            seen.add(id(x))
+            return x
+
+        return jax.tree.map(f, tree)
+
     with jax.default_device(jax.devices("cpu")[0]):
         state = train_engine.progan_init_state(jax.random.key(args.seed), config, args.lr)
+    state = _dealias(state)
     if mesh is not None:
         from probgan_tpu.parallel.dp_train import replicate_state
 
@@ -290,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
             train_state_path, state, alias_missing={"g_ema": "g_params"},
             grow=args.grow,
         )
+        state = _dealias(state)
         if mesh is not None:
             from probgan_tpu.parallel.dp_train import replicate_state
 
@@ -345,21 +364,49 @@ def main(argv: list[str] | None = None) -> int:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def _dev_downscale(raw_u8, factor):
-        x = raw_u8.astype(jnp.float32) / 127.5 - 1.0
+    # Fused device step: batch assembly (uint8 gather -> normalize ->
+    # downscale -> flip) lives INSIDE the train-step program. A separate
+    # assembly program hands the step an XLA-chosen input layout, which at
+    # 512² costs >1.4 GB of layout-copy temps (measured: the split-program
+    # stage-7 step needs 17.2 G HBM vs the 15.75 G chip); fusing keeps one
+    # dispatch per step and lets the old iterate's state buffers be donated.
+    # Downscale-then-flip equals flip-then-downscale exactly (2x2 mean
+    # pooling blocks are contiguous and order-invariant), so parity with
+    # the host pipeline is preserved.
+    @functools.partial(
+        jax.jit,
+        static_argnames=("factor", "mirror", "accum", "config", "stage",
+                         "lr", "dtype", "ema_beta", "packed_fake",
+                         "packed_d", "packed_g", "packed_train_mode",
+                         "r1_gamma"),
+        donate_argnums=(0,),
+    )
+    def _fused_device_step(state, raw_u8, idx, flip, z, alpha, factor,
+                           mirror, accum, config, stage, lr, **step_kwargs):
+        x = raw_u8[idx].astype(jnp.float32) / 127.5 - 1.0
         if factor > 1:
             nn, r, _, c = x.shape
             x = x.reshape(
                 nn, r // factor, factor, r // factor, factor, c
             ).mean(axis=(2, 4))
-        return x
+        if mirror:
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        if accum > 1:
+            return train_engine.progan_train_step_accum(
+                state, x.reshape(accum, -1, *x.shape[1:]),
+                z.reshape(accum, -1, z.shape[-1]), alpha, config, stage, lr,
+                **step_kwargs,
+            )
+        return train_engine.progan_train_step(
+            state, x, z, alpha, config, stage, lr, **step_kwargs,
+        )
+
+    no_flip = (jnp.zeros(consume, jnp.bool_) if dev_raw is not None
+               else None)
 
     for stage in range(start_stage, config.num_stages):
         res = pro_gan.stage_resolution(stage)
-        if dev_raw is not None:
-            reals = _dev_downscale(dev_raw, args.resolution // res)
-        else:
+        if dev_raw is None:
             reals = _downscale(real_full, args.resolution // res)
         print(f"Stage {stage} ({res}²): {args.epochs_per_stage} epochs")
         first_epoch = start_epoch if stage == start_stage else 0
@@ -375,15 +422,11 @@ def main(argv: list[str] | None = None) -> int:
                 if len(idx) < consume:
                     break
                 if dev_raw is not None:
-                    # On-device gather of the permuted rows; the only
-                    # per-step host->device bytes are the indices.
-                    batch = reals[jnp.asarray(idx)]
-                    if args.mirror:
-                        flip = jnp.asarray(rng.rand(len(idx)) < 0.5)
-                        batch = jnp.where(
-                            flip[:, None, None, None],
-                            batch[:, :, ::-1, :], batch,
-                        )
+                    # Batch assembly happens inside _fused_device_step; the
+                    # only per-step host->device bytes are indices + flips.
+                    batch = None
+                    flip_mask = (jnp.asarray(rng.rand(len(idx)) < 0.5)
+                                 if args.mirror else no_flip)
                 else:
                     batch_np = reals[idx]
                     if args.mirror:
@@ -418,7 +461,14 @@ def main(argv: list[str] | None = None) -> int:
                     packed_train_mode=args.packed_mode,
                     r1_gamma=r1_now,
                 )
-                if mesh is not None:
+                if dev_raw is not None:
+                    state, metrics = _fused_device_step(
+                        state, dev_raw, jnp.asarray(idx, jnp.int32),
+                        flip_mask, z, jnp.float32(alpha),
+                        args.resolution // res, args.mirror, accum,
+                        config, stage, args.lr, **step_kwargs,
+                    )
+                elif mesh is not None:
                     from probgan_tpu.parallel.dp_train import (
                         dp_progan_train_step,
                     )
