@@ -21,18 +21,30 @@ from __future__ import annotations
 import numpy as np
 
 
-def channel_wasserstein(samples: np.ndarray, dataset: np.ndarray) -> float:
+def channel_quantiles(images: np.ndarray, n: int = 512) -> np.ndarray:
+    """[C, n] matched quantiles of each channel's pixel-intensity
+    distribution — the sufficient statistic ``channel_wasserstein`` compares.
+    Checked-in dataset quantiles (e.g. the 512² synthetic set, whose
+    regeneration costs minutes) let tests score grids against the exact
+    training distribution without regenerating it."""
+    qs = np.linspace(0.0, 1.0, n)
+    return np.stack([
+        np.quantile(images[..., c].astype(np.float64).ravel(), qs)
+        for c in range(images.shape[-1])
+    ])
+
+
+def channel_wasserstein(samples: np.ndarray, dataset) -> float:
     """W1 between per-channel pixel-intensity distributions, uint8 units.
 
     Computed as the mean absolute difference of matched quantiles (the exact
-    1-D Wasserstein-1 under equal sample counts; here 512 quantiles)."""
-    qs = np.linspace(0.0, 1.0, 512)
-    total = 0.0
-    for c in range(samples.shape[-1]):
-        a = np.quantile(samples[..., c].astype(np.float64).ravel(), qs)
-        b = np.quantile(dataset[..., c].astype(np.float64).ravel(), qs)
-        total += float(np.mean(np.abs(a - b)))
-    return total / samples.shape[-1]
+    1-D Wasserstein-1 under equal sample counts; here 512 quantiles).
+    ``dataset`` is either an image array or a precomputed [C, 512] quantile
+    matrix from :func:`channel_quantiles`."""
+    b_all = (np.asarray(dataset, np.float64)
+             if np.ndim(dataset) == 2 else channel_quantiles(dataset))
+    a_all = channel_quantiles(samples, b_all.shape[1])
+    return float(np.mean(np.abs(a_all - b_all)))
 
 
 def logit_gap(score_fn, real_uint8: np.ndarray, fake_uint8: np.ndarray) -> float:

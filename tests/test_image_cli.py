@@ -217,7 +217,7 @@ def test_image_quality_metrics_and_eval_tool(tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "qa_ema.npy"))
 
 
-@pytest.mark.parametrize("res,ema_bound,raw_bound,ema_vs_raw", [
+@pytest.mark.parametrize("res,ema_bound,raw_bound,ema_vs_raw,col_factor", [
     # 36-sample grids carry ~±8 uint8-unit subset noise (the full 128-sample
     # evals in RESULTS.md measure 19.97/19.93 at 128² and 14.90/20.63 at
     # 256²); bounds are loose enough for that noise and tight enough to
@@ -225,10 +225,17 @@ def test_image_quality_metrics_and_eval_tool(tmp_path, capsys):
     # the collapsed score). At 256² (longer schedule; trained end-to-end on
     # the packed --bf16 --packed_d --packed_g path) the EMA strictly beats
     # the raw iterate even on the grid subset.
-    (128, 35.0, 30.0, 2.0),
-    (256, 30.0, 35.0, 1.0),
+    (128, 35.0, 30.0, 2.0, 0.6),
+    (256, 30.0, 35.0, 1.0, 0.6),
+    # 512² grids hold only 16 samples (the full 64-sample eval measures
+    # EMA 24.6 / raw 32.2 — RESULTS.md "512² synthesis run COMPLETE");
+    # the raw grid subset lands at 46.9 vs collapsed 72.9, so the
+    # collapse-control factor is 0.75 here, still far from the 1.0 of an
+    # actually collapsed generator.
+    (512, 45.0, 55.0, 1.0, 0.75),
 ])
-def test_trained_artifacts_synthesize(res, ema_bound, raw_bound, ema_vs_raw):
+def test_trained_artifacts_synthesize(res, ema_bound, raw_bound, ema_vs_raw,
+                                      col_factor):
     """The checked-in sample grids (benchmarks/artifacts/, rendered by the
     round-3 progressive training runs — RESULTS.md 'image training
     quality') actually synthesize: both EMA and raw grids sit far below the
@@ -250,11 +257,26 @@ def test_trained_artifacts_synthesize(res, ema_bound, raw_bound, ema_vs_raw):
             for r in range(rows) for c in range(cols)
         ])
 
-    dataset = synthetic_images(512, res, seed=0)  # the run's exact data
-    ema_w1 = channel_wasserstein(untile(ema_grid), dataset)
-    raw_w1 = channel_wasserstein(untile(raw_grid), dataset)
+    if res >= 512:
+        # Regenerating the 512-image dataset at 512² costs ~5 min; score
+        # against its checked-in per-channel quantiles instead (the exact
+        # sufficient statistic of the W1 metric — bit-equal result;
+        # regenerable via benchmarks.image_quality.channel_quantiles) and
+        # stride grid pixels ::4 (measured faithful to <0.2 uint8 units:
+        # RESULTS.md "512² synthesis run COMPLETE").
+        dataset = np.load(
+            os.path.join(art, f"img{res}_dataset_quantiles.npy"))
+        stride = 4
+    else:
+        dataset = synthetic_images(512, res, seed=0)  # the run's exact data
+        stride = 1
+    sub = (slice(None), slice(None, None, stride), slice(None, None, stride))
+    ema_w1 = channel_wasserstein(untile(ema_grid)[sub], dataset)
+    raw_w1 = channel_wasserstein(untile(raw_grid)[sub], dataset)
     collapsed = channel_wasserstein(
-        np.full((16, res, res, 3), 128, np.uint8), dataset)
+        np.full((16, res // stride, res // stride, 3), 128, np.uint8),
+        dataset)
     assert ema_w1 < ema_bound and raw_w1 < raw_bound, (ema_w1, raw_w1)
-    assert ema_w1 < 0.6 * collapsed and raw_w1 < 0.6 * collapsed
+    assert ema_w1 < col_factor * collapsed, (ema_w1, collapsed)
+    assert raw_w1 < col_factor * collapsed, (raw_w1, collapsed)
     assert ema_w1 < ema_vs_raw * raw_w1, (ema_w1, raw_w1)
